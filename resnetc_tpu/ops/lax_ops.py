@@ -1,0 +1,234 @@
+"""XLA oracle ops — the numerical ground truth for every kernel in the framework.
+
+Each function here is the TPU-native equivalent of one CUDA kernel in the
+reference (cuda/ops.cu), expressed as pure ``jax.lax`` ops so XLA can fuse and
+schedule them (the reference instead serialises ~470 kernel launches with a
+``cudaDeviceSynchronize`` after each, cuda/nn.cu:14 et al.).  The Pallas
+kernels in ``resnetc_tpu.ops.pallas`` are golden-tested against these.
+
+Semantics pinned to the reference:
+
+- conv2d: square kernel, symmetric stride/padding, zero padding, **no bias**
+  (ResNet convs are bias-free) — reference cuda/ops.cu:14-48.
+- max_pool2d: padding contributes -inf (out-of-bounds skipped) —
+  reference cuda/ops.cu:50-78.
+- avg_pool2d: divisor is always ``kernel_size**2`` (count_include_pad=True)
+  — reference cuda/ops.cu:80-108, esp. :107.
+- linear: ``out = x @ W.T + b``, weight layout ``[out_features, in_features]``
+  — reference cuda/ops.cu:110-128.
+- batch_norm inference: ``(x - mean)/sqrt(var + eps) * gamma + beta`` with
+  running stats, eps=1e-5 — reference cuda/ops.cu:139-151.
+- relu / add: elementwise — reference cuda/ops.cu:130-137, :153-160.
+
+All activation tensors are NHWC; conv weights are HWIO (see resnetc_tpu.tensor).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+EPS = 1e-5  # BatchNorm epsilon, fixed to the reference's value (cuda/ops.cu:150).
+
+# PyTorch BatchNorm2d default momentum, used for running-stat updates in
+# training mode (the reference is inference-only; this is new surface).
+BN_MOMENTUM = 0.1
+
+
+def conv2d(
+    x: jax.Array,
+    w: jax.Array,
+    *,
+    stride: int = 1,
+    padding: int = 0,
+    accum_dtype: jnp.dtype = jnp.float32,
+) -> jax.Array:
+    """2-D convolution, NHWC x HWIO -> NHWC, zero-padded, bias-free.
+
+    Accumulates in ``accum_dtype`` (fp32 by default) regardless of the input
+    compute dtype, then casts back — the bf16-with-fp32-accumulate contract
+    the MXU expects.
+    """
+    # precision=HIGHEST: dtype policy owns precision (bf16 fast path = bf16
+    # arrays); fp32 inputs must actually compute in fp32, not the silently
+    # downcast lax default.
+    out = lax.conv_general_dilated(
+        x,
+        w,
+        window_strides=(stride, stride),
+        padding=((padding, padding), (padding, padding)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=accum_dtype,
+        precision=lax.Precision.HIGHEST,
+    )
+    return out.astype(x.dtype)
+
+
+def max_pool2d(x: jax.Array, *, kernel_size: int, stride: int, padding: int) -> jax.Array:
+    """Max pool, NHWC. Padded elements are -inf, matching the reference's
+    skip-out-of-bounds-start-from--inf loop (cuda/ops.cu:64)."""
+    neg_inf = -jnp.inf if jnp.issubdtype(x.dtype, jnp.floating) else jnp.iinfo(x.dtype).min
+    return lax.reduce_window(
+        x,
+        jnp.asarray(neg_inf, x.dtype),
+        lax.max,
+        window_dimensions=(1, kernel_size, kernel_size, 1),
+        window_strides=(1, stride, stride, 1),
+        padding=((0, 0), (padding, padding), (padding, padding), (0, 0)),
+    )
+
+
+def avg_pool2d(x: jax.Array, *, kernel_size: int, stride: int, padding: int = 0) -> jax.Array:
+    """Average pool, NHWC, divisor = kernel_size**2 (count_include_pad=True).
+
+    The reference divides the window sum by ``kernel_size²`` unconditionally
+    (cuda/ops.cu:107); it only ever calls this as the final global 7x7 pool
+    where no padding exists, so it matches AdaptiveAvgPool2d((1,1)) there.
+    We pin the same divisor semantics for all shapes.
+    """
+    summed = lax.reduce_window(
+        x.astype(jnp.float32),
+        jnp.float32(0),
+        lax.add,
+        window_dimensions=(1, kernel_size, kernel_size, 1),
+        window_strides=(1, stride, stride, 1),
+        padding=((0, 0), (padding, padding), (padding, padding), (0, 0)),
+    )
+    return (summed / (kernel_size * kernel_size)).astype(x.dtype)
+
+
+def global_avg_pool(x: jax.Array) -> jax.Array:
+    """Global spatial mean, NHWC -> NC.
+
+    The reference implements this as an explicit 7x7/1 avgPool2d plus a
+    flattening ``view`` (cuda/inference/main.cu:213-219); on TPU a plain mean
+    reduction fuses better and works for any input resolution.
+    """
+    return jnp.mean(x.astype(jnp.float32), axis=(1, 2)).astype(x.dtype)
+
+
+def linear(
+    x: jax.Array,
+    w: jax.Array,
+    b: jax.Array | None = None,
+    *,
+    accum_dtype: jnp.dtype = jnp.float32,
+) -> jax.Array:
+    """Fully-connected layer: ``x [B, in] @ W.T [in, out] + b``.
+
+    Weight layout is PyTorch's ``[out_features, in_features]``
+    (reference cuda/ops.cu:119-123); bias optional via None, mirroring the
+    kernel's null-pointer check (cuda/ops.cu:124-126).
+    """
+    out = lax.dot_general(
+        x,
+        w,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=accum_dtype,
+        precision=lax.Precision.HIGHEST,
+    )
+    if b is not None:
+        out = out + b.astype(accum_dtype)
+    return out.astype(x.dtype)
+
+
+def relu(x: jax.Array) -> jax.Array:
+    """Elementwise max(x, 0) — reference cuda/ops.cu:130-137."""
+    return jnp.maximum(x, jnp.zeros((), x.dtype))
+
+
+def add(a: jax.Array, b: jax.Array) -> jax.Array:
+    """Residual add — reference cuda/ops.cu:153-160."""
+    return a + b
+
+
+def batch_norm_inference(
+    x: jax.Array,
+    scale: jax.Array,
+    bias: jax.Array,
+    mean: jax.Array,
+    var: jax.Array,
+    *,
+    eps: float = EPS,
+) -> jax.Array:
+    """Inference-mode batch norm with running statistics.
+
+    ``(x - mean) / sqrt(var + eps) * scale + bias`` per channel —
+    reference cuda/ops.cu:149-150.  Per-channel affine is precomputed in fp32
+    so the per-element work is one fused multiply-add.
+    """
+    inv = lax.rsqrt(var.astype(jnp.float32) + eps)
+    a = (scale.astype(jnp.float32) * inv).astype(x.dtype)
+    c = (bias.astype(jnp.float32) - mean.astype(jnp.float32) * scale.astype(jnp.float32) * inv).astype(x.dtype)
+    return x * a + c
+
+
+def batch_norm_train(
+    x: jax.Array,
+    scale: jax.Array,
+    bias: jax.Array,
+    running_mean: jax.Array,
+    running_var: jax.Array,
+    *,
+    eps: float = EPS,
+    momentum: float = BN_MOMENTUM,
+    axis_name: str | None = None,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Training-mode batch norm: normalise with batch statistics, return
+    updated running statistics.
+
+    New surface relative to the reference (which is inference-only,
+    SURVEY.md §2): semantics match PyTorch ``BatchNorm2d.train()`` —
+    normalisation uses the *biased* batch variance, the running-var update
+    uses the *unbiased* one, and updates are
+    ``running <- (1 - momentum) * running + momentum * batch``.
+
+    If ``axis_name`` is given, batch statistics are averaged across that
+    mapped axis (sync-BN over the data-parallel mesh axis via ``psum``-backed
+    ``pmean``).
+    """
+    xf = x.astype(jnp.float32)
+    reduce_axes = (0, 1, 2)  # N, H, W — per-channel stats
+    n = x.shape[0] * x.shape[1] * x.shape[2]
+    batch_mean = jnp.mean(xf, axis=reduce_axes)
+    batch_var = jnp.mean(jnp.square(xf), axis=reduce_axes) - jnp.square(batch_mean)
+    if axis_name is not None:
+        batch_mean = lax.pmean(batch_mean, axis_name)
+        batch_var = lax.pmean(batch_var, axis_name)
+        n = n * lax.psum(1, axis_name)
+
+    inv = lax.rsqrt(batch_var + eps)
+    a = (scale.astype(jnp.float32) * inv).astype(x.dtype)
+    c = (bias.astype(jnp.float32) - batch_mean * scale.astype(jnp.float32) * inv).astype(x.dtype)
+    out = x * a + c
+
+    # PyTorch tracks the unbiased variance in running_var.
+    unbiased_var = batch_var * (n / max(n - 1, 1))
+    new_mean = (1 - momentum) * running_mean.astype(jnp.float32) + momentum * batch_mean
+    new_var = (1 - momentum) * running_var.astype(jnp.float32) + momentum * unbiased_var
+    return out, new_mean.astype(running_mean.dtype), new_var.astype(running_var.dtype)
+
+
+def fold_bn_into_conv(
+    w: jax.Array,
+    scale: jax.Array,
+    bias: jax.Array,
+    mean: jax.Array,
+    var: jax.Array,
+    *,
+    eps: float = EPS,
+) -> tuple[jax.Array, jax.Array]:
+    """Fold an inference-mode BN into the preceding (bias-free) conv.
+
+    Mathematically exact given the reference's BN formula (cuda/ops.cu:149-150):
+    ``BN(conv(x, W)) == conv(x, W * g) + c`` with ``g = scale/sqrt(var+eps)``
+    broadcast over the output-channel axis and ``c = bias - mean * g``.
+    Used by the serving path; training keeps BN unfused (SURVEY.md §7).
+
+    ``w`` is HWIO; returns (folded_w [HWIO], folded_bias [O]).
+    """
+    g = scale.astype(jnp.float32) * lax.rsqrt(var.astype(jnp.float32) + eps)
+    folded_w = (w.astype(jnp.float32) * g[None, None, None, :]).astype(w.dtype)
+    folded_b = bias.astype(jnp.float32) - mean.astype(jnp.float32) * g
+    return folded_w, folded_b
