@@ -1,0 +1,84 @@
+#!/usr/bin/env python
+"""Headline benchmark: ResNet-50 batch-256 bf16 inference images/sec/chip.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...}
+
+The reference publishes no numbers (BASELINE.md), so the baseline is the
+driver-supplied north star: >=80% of the v5e bf16 MXU roofline at ResNet-50
+batch-256.  ``vs_baseline`` is measured_throughput / (0.8 * roofline) —
+1.0 means the target is exactly met, >1.0 beats it.
+
+Runs on whatever jax.devices() offers; on a CPU host it shrinks the workload
+so the pipeline is still exercised end-to-end (numbers are then not
+meaningful and the JSON says so via "platform").
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from resnetc_tpu.models import resnet
+from resnetc_tpu.serve import InferenceEngine, bench_latency, bench_throughput
+from resnetc_tpu.tensor import BF16
+from resnetc_tpu.utils.flops import model_flops
+
+# Peak bf16 MXU throughput per chip. TPU v5e: 197 TFLOP/s bf16.
+PEAK_BF16_FLOPS = {"tpu": 197e12}
+ROOFLINE_FRACTION = 0.8  # the BASELINE.json target
+
+
+def main() -> None:
+    platform = jax.devices()[0].platform
+    on_tpu = platform == "tpu"
+
+    model = "resnet50"
+    batch = 256 if on_tpu else 8
+    steps = 30 if on_tpu else 3
+    image_size = 224 if on_tpu else 64
+
+    cfg = resnet.get_config(model)
+    variables = resnet.init(cfg, jax.random.key(0))
+    engine = InferenceEngine(cfg, variables, policy=BF16)
+
+    images = jnp.asarray(
+        np.random.default_rng(0).standard_normal(
+            (batch, image_size, image_size, 3), dtype=np.float32
+        )
+    )
+    tp = bench_throughput(engine, images, steps=steps, warmup=2 if on_tpu else 1)
+    lat = bench_latency(
+        engine,
+        images[:1],
+        samples=50 if on_tpu else 5,
+        warmup=5 if on_tpu else 1,
+    )
+
+    flops = model_flops(cfg, image_size)
+    achieved_flops = tp.images_per_sec * flops
+    peak = PEAK_BF16_FLOPS.get(platform)
+    mxu_util = achieved_flops / peak if peak else None
+    target = (peak * ROOFLINE_FRACTION / flops) if peak else None
+
+    result = {
+        "metric": f"{model} batch-{batch} bf16 inference throughput",
+        "value": round(tp.images_per_sec, 2),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(tp.images_per_sec / target, 4) if target else None,
+        "platform": platform,
+        "image_size": image_size,
+        "mxu_utilization": round(mxu_util, 4) if mxu_util is not None else None,
+        "p50_latency_ms": round(lat.p50_ms, 3),
+        "p99_latency_ms": round(lat.p99_ms, 3),
+        "gflops_per_image": round(flops / 1e9, 2),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -25,6 +25,8 @@ All activation tensors are NHWC; conv weights are HWIO (see resnetc_tpu.tensor).
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 from jax import lax
@@ -34,6 +36,56 @@ EPS = 1e-5  # BatchNorm epsilon, fixed to the reference's value (cuda/ops.cu:150
 # PyTorch BatchNorm2d default momentum, used for running-stat updates in
 # training mode (the reference is inference-only; this is new surface).
 BN_MOMENTUM = 0.1
+
+
+def _conv_prim(
+    x: jax.Array,
+    w: jax.Array,
+    stride: int,
+    padding: int,
+    accum_dtype: jnp.dtype | None,
+) -> jax.Array:
+    # precision=HIGHEST: dtype policy owns precision (bf16 fast path = bf16
+    # arrays); fp32 inputs must actually compute in fp32, not the silently
+    # downcast lax default.
+    return lax.conv_general_dilated(
+        x,
+        w,
+        window_strides=(stride, stride),
+        padding=((padding, padding), (padding, padding)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=accum_dtype,
+        precision=lax.Precision.HIGHEST,
+    )
+
+
+@functools.lru_cache(maxsize=None)
+def _mixed_dtype_conv(stride: int, padding: int, accum_dtype):
+    """Differentiable conv whose forward accumulates in ``accum_dtype`` while
+    operands/outputs stay in the compute dtype (e.g. bf16).
+
+    lax's conv transpose rule rejects the mixed-dtype cotangent that
+    ``preferred_element_type`` produces, so the backward runs same-dtype
+    convs instead (the MXU accumulates fp32 internally either way — this is
+    the standard bf16-training recipe)."""
+
+    def primal(x, w):
+        return _conv_prim(x, w, stride, padding, accum_dtype).astype(x.dtype)
+
+    @jax.custom_vjp
+    def conv(x, w):
+        return primal(x, w)
+
+    def fwd(x, w):
+        return primal(x, w), (x, w)
+
+    def bwd(res, g):
+        x, w = res
+        _, vjp = jax.vjp(lambda a, b: _conv_prim(a, b, stride, padding, None), x, w)
+        return vjp(g.astype(x.dtype))
+
+    conv.defvjp(fwd, bwd)
+    return conv
 
 
 def conv2d(
@@ -50,28 +102,20 @@ def conv2d(
     compute dtype, then casts back — the bf16-with-fp32-accumulate contract
     the MXU expects.
     """
-    # precision=HIGHEST: dtype policy owns precision (bf16 fast path = bf16
-    # arrays); fp32 inputs must actually compute in fp32, not the silently
-    # downcast lax default.
-    out = lax.conv_general_dilated(
-        x,
-        w,
-        window_strides=(stride, stride),
-        padding=((padding, padding), (padding, padding)),
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=accum_dtype,
-        precision=lax.Precision.HIGHEST,
-    )
-    return out.astype(x.dtype)
+    if x.dtype == jnp.dtype(accum_dtype):
+        return _conv_prim(x, w, stride, padding, accum_dtype)
+    return _mixed_dtype_conv(stride, padding, jnp.dtype(accum_dtype))(x, w)
 
 
 def max_pool2d(x: jax.Array, *, kernel_size: int, stride: int, padding: int) -> jax.Array:
     """Max pool, NHWC. Padded elements are -inf, matching the reference's
     skip-out-of-bounds-start-from--inf loop (cuda/ops.cu:64)."""
+    # Init must be a static scalar: a traced init defeats the reduce-window-max
+    # specialisation and with it reverse-mode autodiff under jit.
     neg_inf = -jnp.inf if jnp.issubdtype(x.dtype, jnp.floating) else jnp.iinfo(x.dtype).min
     return lax.reduce_window(
         x,
-        jnp.asarray(neg_inf, x.dtype),
+        neg_inf,
         lax.max,
         window_dimensions=(1, kernel_size, kernel_size, 1),
         window_strides=(1, stride, stride, 1),

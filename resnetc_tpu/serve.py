@@ -1,0 +1,198 @@
+"""Serving path: compiled inference engines + latency/throughput benchmarks.
+
+The reference's "serving path" is a single hardcoded image through ~470
+serialized kernel launches (cuda/inference/main.cu:228-254).  Here the
+engine is one jit-compiled XLA program over BN-folded weights (exact fold,
+lax_ops.fold_bn_into_conv), with:
+
+- a **batched engine** for throughput (images/sec/chip — the BASELINE.json
+  headline metric at ResNet-50 batch-256 bf16), and
+- a **single-image engine** for p50/p99 latency, fed by the host ingest
+  pipeline (resnetc_tpu.data).
+
+``block_until_ready`` appears only at benchmark boundaries — XLA's async
+dispatch does the overlapping the reference's sync-per-op design forbids
+(SURVEY.md §2 "Multi-stream / async overlap").
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Any, Callable, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from resnetc_tpu.models import resnet
+from resnetc_tpu.tensor import BF16, DtypePolicy
+
+Pytree = Any
+
+
+@dataclasses.dataclass(frozen=True)
+class ServeConfig:
+    model: str = "resnet50"
+    batch_size: int = 256
+    image_size: int = 224
+    policy_name: str = "bf16"
+    num_classes: int = 1000
+
+    @property
+    def policy(self) -> DtypePolicy:
+        from resnetc_tpu.tensor import policy
+
+        return policy(self.policy_name)
+
+
+class InferenceEngine:
+    """A compiled classifier: folded weights resident on device, one jitted
+    XLA program per input shape."""
+
+    def __init__(
+        self,
+        model_cfg: resnet.ResNetConfig,
+        variables: Pytree,
+        *,
+        policy: DtypePolicy = BF16,
+        sharding: Any | None = None,
+        backend: str = "xla",
+    ):
+        self.model_cfg = model_cfg
+        self.policy = policy
+        folded = resnet.fold_inference_params(model_cfg, variables)
+        # Pre-cast weights to the compute dtype once, on device — serving
+        # never pays the cast again.
+        folded = jax.tree.map(lambda a: jnp.asarray(a), folded)
+        self.folded = jax.device_put(folded, sharding) if sharding is not None else folded
+        self._backend = backend
+        self._compiled: dict[tuple[int, int, int], Callable] = {}
+
+    def _fn(self):
+        cfg, policy = self.model_cfg, self.policy
+        if self._backend == "xla":
+            def run(folded, x):
+                return resnet.forward_folded(cfg, folded, x, policy=policy)
+        else:
+            from resnetc_tpu.ops.pallas import fused_forward
+
+            def run(folded, x):
+                return fused_forward(cfg, folded, x, policy=policy)
+        return run
+
+    def compile(self, batch: int, height: int = 224, width: int = 224) -> Callable:
+        """AOT-compile for a shape (compile cost paid here, not on the first
+        request)."""
+        key = (batch, height, width)
+        if key not in self._compiled:
+            fn = jax.jit(self._fn())
+            x = jax.ShapeDtypeStruct((batch, height, width, 3), jnp.float32)
+            folded_shapes = jax.tree.map(
+                lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype, sharding=getattr(a, "sharding", None)),
+                self.folded,
+            )
+            self._compiled[key] = fn.lower(folded_shapes, x).compile()
+        return self._compiled[key]
+
+    def logits(self, images: jax.Array) -> jax.Array:
+        if images.ndim != 4 or images.shape[-1] != 3:
+            raise ValueError(
+                f"expected NHWC images [B, H, W, 3], got {images.shape} — "
+                "NCHW inputs must go through resnetc_tpu.tensor.nchw_to_nhwc"
+            )
+        b, h, w, _ = images.shape
+        return self.compile(b, h, w)(self.folded, images)
+
+    def classify(self, images: jax.Array) -> np.ndarray:
+        """Argmax class indices — the reference's readout (main.cu:243-251),
+        computed on device instead of a host loop over logits."""
+        return np.asarray(jnp.argmax(self.logits(images), axis=-1))
+
+
+# ---------------------------------------------------------------------------
+# Benchmarks
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class ThroughputResult:
+    images_per_sec: float
+    batch_size: int
+    steps: int
+    seconds: float
+
+
+@dataclasses.dataclass(frozen=True)
+class LatencyResult:
+    p50_ms: float
+    p99_ms: float
+    mean_ms: float
+    samples: int
+
+
+def bench_throughput(
+    engine: InferenceEngine,
+    images: jax.Array,
+    *,
+    steps: int = 20,
+    warmup: int = 3,
+) -> ThroughputResult:
+    """Steady-state batched throughput. The input batch stays device-resident;
+    dispatch is async with a single sync at each timing boundary."""
+    fn = engine.compile(*images.shape[:3])
+    for _ in range(warmup):
+        fn(engine.folded, images).block_until_ready()
+    t0 = time.perf_counter()
+    out = None
+    for _ in range(steps):
+        out = fn(engine.folded, images)
+    out.block_until_ready()
+    dt = time.perf_counter() - t0
+    return ThroughputResult(
+        images_per_sec=images.shape[0] * steps / dt,
+        batch_size=images.shape[0],
+        steps=steps,
+        seconds=dt,
+    )
+
+
+def bench_latency(
+    engine: InferenceEngine,
+    image: jax.Array,
+    *,
+    samples: int = 50,
+    warmup: int = 5,
+) -> LatencyResult:
+    """Single-request latency distribution (p50/p99 per BASELINE.json #3).
+    Each sample is a full blocking round trip, as a serving frontend sees it."""
+    if image.ndim == 3:
+        image = image[None]
+    fn = engine.compile(*image.shape[:3])
+    for _ in range(warmup):
+        fn(engine.folded, image).block_until_ready()
+    times = []
+    for _ in range(samples):
+        t0 = time.perf_counter()
+        fn(engine.folded, image).block_until_ready()
+        times.append((time.perf_counter() - t0) * 1e3)
+    arr = np.array(times)
+    return LatencyResult(
+        p50_ms=float(np.percentile(arr, 50)),
+        p99_ms=float(np.percentile(arr, 99)),
+        mean_ms=float(arr.mean()),
+        samples=samples,
+    )
+
+
+def classify_files(
+    engine: InferenceEngine, paths: Sequence[str], *, image_size: int = 224
+) -> list[int]:
+    """End-to-end: decode -> preprocess -> device -> argmax, one call.
+
+    The whole-pipeline equivalent of running convert_imgs_to_bin.py followed
+    by the reference binary."""
+    from resnetc_tpu.data.preprocess import preprocess_file
+
+    batch = np.concatenate([preprocess_file(p, crop=image_size) for p in paths])
+    return list(engine.classify(jnp.asarray(batch)))

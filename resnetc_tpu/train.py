@@ -1,0 +1,268 @@
+"""Training: forward+backward, SGD w/ momentum, LR schedules, sharded step.
+
+Entirely new surface relative to the reference, which is inference-only — no
+backward pass, no optimizer, no training loop anywhere in its 1,387 LoC
+(SURVEY.md §2).  BASELINE.json config #4 defines the contract: ResNet-18/50
+forward+backward with BatchNorm backward and SGD, grad-checked against
+PyTorch autograd; config #5 adds data-parallel execution over a v5e-8 mesh
+with gradient all-reduce riding ICI.
+
+Design:
+
+- the step is a pure function of (train_state, batch) -> (train_state,
+  metrics), so jit/pjit/checkpointing compose;
+- distribution is sharding-driven: ``sharded_train_step`` jits the same pure
+  step with the batch sharded over the mesh's 'data' axis and params
+  replicated — XLA emits the gradient all-reduce (psum over ICI).  BN batch
+  statistics are *global-batch* statistics by construction (the mean over a
+  sharded axis lowers to a cross-device reduction), i.e. sync-BN for free;
+- SGD matches ``torch.optim.SGD`` exactly (decoupled=False weight decay
+  folded into the gradient, momentum buffers, optional Nesterov) so training
+  trajectories are comparable step-for-step.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from functools import partial
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from resnetc_tpu.models import resnet
+from resnetc_tpu.parallel import mesh as pmesh
+from resnetc_tpu.tensor import BF16, DtypePolicy
+
+Pytree = Any
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    lr: float = 0.1
+    momentum: float = 0.9
+    weight_decay: float = 1e-4
+    nesterov: bool = False
+    label_smoothing: float = 0.0
+    policy_name: str = "bf16"
+
+    @property
+    def policy(self) -> DtypePolicy:
+        from resnetc_tpu.tensor import policy
+
+        return policy(self.policy_name)
+
+
+# ---------------------------------------------------------------------------
+# Loss
+# ---------------------------------------------------------------------------
+
+
+def cross_entropy(
+    logits: jax.Array, labels: jax.Array, *, label_smoothing: float = 0.0
+) -> jax.Array:
+    """Mean softmax cross-entropy over the batch; integer labels."""
+    logits = logits.astype(jnp.float32)
+    num_classes = logits.shape[-1]
+    log_probs = jax.nn.log_softmax(logits, axis=-1)
+    if label_smoothing:
+        on = 1.0 - label_smoothing
+        off = label_smoothing / num_classes
+        onehot = jax.nn.one_hot(labels, num_classes, dtype=jnp.float32)
+        targets = onehot * on + off
+        nll = -jnp.sum(targets * log_probs, axis=-1)
+    else:
+        nll = -jnp.take_along_axis(log_probs, labels[:, None], axis=-1)[:, 0]
+    return jnp.mean(nll)
+
+
+# ---------------------------------------------------------------------------
+# SGD (torch.optim.SGD-compatible)
+# ---------------------------------------------------------------------------
+
+
+def init_momentum(params: Pytree) -> Pytree:
+    return jax.tree.map(jnp.zeros_like, params)
+
+
+def sgd_update(
+    params: Pytree,
+    grads: Pytree,
+    momentum_buf: Pytree,
+    *,
+    lr: float | jax.Array,
+    momentum: float = 0.9,
+    weight_decay: float = 0.0,
+    nesterov: bool = False,
+) -> tuple[Pytree, Pytree]:
+    """One SGD step, semantics identical to torch.optim.SGD:
+
+    ``g = grad + wd * w``; ``buf = mu * buf + g``;
+    ``w -= lr * (g + mu * buf)`` if nesterov else ``w -= lr * buf``.
+    (With momentum=0 it degenerates to plain SGD and the buffer stays zero.)
+    """
+
+    def upd(w, g, buf):
+        g = g.astype(jnp.float32) + weight_decay * w.astype(jnp.float32)
+        new_buf = momentum * buf + g if momentum else g
+        step_dir = g + momentum * new_buf if nesterov else new_buf
+        new_w = w.astype(jnp.float32) - lr * step_dir
+        return new_w.astype(w.dtype), new_buf.astype(buf.dtype)
+
+    flat = jax.tree.map(upd, params, grads, momentum_buf)
+    new_params = jax.tree.map(lambda t: t[0], flat, is_leaf=lambda t: isinstance(t, tuple))
+    new_buf = jax.tree.map(lambda t: t[1], flat, is_leaf=lambda t: isinstance(t, tuple))
+    return new_params, new_buf
+
+
+# ---------------------------------------------------------------------------
+# LR schedules (host-side Python producing per-step scalars, or jittable fns)
+# ---------------------------------------------------------------------------
+
+
+def cosine_schedule(
+    base_lr: float, total_steps: int, *, warmup_steps: int = 0, final_lr: float = 0.0
+):
+    """Linear warmup then cosine decay; returns a jittable step -> lr fn."""
+
+    def lr_at(step):
+        step = jnp.asarray(step, jnp.float32)
+        warm = base_lr * step / max(warmup_steps, 1)
+        t = jnp.clip(
+            (step - warmup_steps) / max(total_steps - warmup_steps, 1), 0.0, 1.0
+        )
+        cos = final_lr + 0.5 * (base_lr - final_lr) * (1 + jnp.cos(jnp.pi * t))
+        return jnp.where(step < warmup_steps, warm, cos)
+
+    return lr_at
+
+
+# ---------------------------------------------------------------------------
+# Train state + step
+# ---------------------------------------------------------------------------
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class TrainState:
+    step: jax.Array  # int32 scalar
+    params: Pytree  # trainable weights
+    bn_state: Pytree  # BN running stats
+    momentum: Pytree  # SGD buffers (mirrors params)
+
+
+def init_train_state(model_cfg: resnet.ResNetConfig, key: jax.Array) -> TrainState:
+    variables = resnet.init(model_cfg, key)
+    params, bn_state = resnet.split_params_state(variables)
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        bn_state=bn_state,
+        momentum=init_momentum(params),
+    )
+
+
+def loss_fn(
+    model_cfg: resnet.ResNetConfig,
+    params: Pytree,
+    bn_state: Pytree,
+    images: jax.Array,
+    labels: jax.Array,
+    *,
+    label_smoothing: float = 0.0,
+    policy: DtypePolicy = BF16,
+) -> tuple[jax.Array, tuple[Pytree, jax.Array]]:
+    """Differentiable loss; aux = (updated BN stats, logits)."""
+    variables = resnet.merge_params_state(params, bn_state)
+    logits, new_stats = resnet.forward(
+        model_cfg, variables, images, train=True, policy=policy
+    )
+    # In train mode every BN layer reports updated running buffers, and the
+    # returned tree has exactly bn_state's structure (dict pytrees flatten in
+    # sorted key order), so it replaces the old state wholesale.
+    new_bn_state = new_stats if new_stats else bn_state
+    loss = cross_entropy(logits, labels, label_smoothing=label_smoothing)
+    return loss, (new_bn_state, logits)
+
+
+@partial(jax.jit, static_argnums=(0, 1), donate_argnums=(2,))
+def train_step(
+    model_cfg: resnet.ResNetConfig,
+    train_cfg: TrainConfig,
+    ts: TrainState,
+    images: jax.Array,
+    labels: jax.Array,
+    lr: jax.Array,
+) -> tuple[TrainState, dict[str, jax.Array]]:
+    """One optimization step. Pure; buffers donated.
+
+    Under a sharded jit (see ``sharded_train_step``) the gradient averaging
+    over the 'data'-sharded batch lowers to an all-reduce over ICI.
+    """
+    (loss, (new_bn_state, logits)), grads = jax.value_and_grad(
+        lambda p: loss_fn(
+            model_cfg, p, ts.bn_state, images, labels,
+            label_smoothing=train_cfg.label_smoothing, policy=train_cfg.policy,
+        ),
+        has_aux=True,
+    )(ts.params)
+
+    new_params, new_momentum = sgd_update(
+        ts.params, grads, ts.momentum,
+        lr=lr, momentum=train_cfg.momentum,
+        weight_decay=train_cfg.weight_decay, nesterov=train_cfg.nesterov,
+    )
+    metrics = {
+        "loss": loss,
+        "accuracy": jnp.mean((jnp.argmax(logits, -1) == labels).astype(jnp.float32)),
+        "grad_norm": jnp.sqrt(
+            sum(jnp.sum(jnp.square(g.astype(jnp.float32))) for g in jax.tree.leaves(grads))
+        ),
+    }
+    new_ts = TrainState(
+        step=ts.step + 1, params=new_params, bn_state=new_bn_state, momentum=new_momentum
+    )
+    return new_ts, metrics
+
+
+def sharded_train_step(
+    model_cfg: resnet.ResNetConfig,
+    train_cfg: TrainConfig,
+    mesh,
+):
+    """jit the train step with explicit mesh shardings.
+
+    Batch shards over 'data' (and channels over 'model' when present); the
+    train state follows ``param_shardings`` (replicated over 'data',
+    channel-sharded over 'model').  Returns (jitted_step, shard_state,
+    batch_shardings) where shard_state places a host train state onto the
+    mesh.
+    """
+
+    def state_shardings(ts: TrainState) -> TrainState:
+        return TrainState(
+            step=pmesh.replicated(mesh),
+            params=pmesh.param_shardings(mesh, ts.params),
+            bn_state=pmesh.param_shardings(mesh, ts.bn_state),
+            momentum=pmesh.param_shardings(mesh, ts.momentum),
+        )
+
+    img_sh = pmesh.batch_sharding(mesh)
+    lbl_sh = pmesh.label_sharding(mesh)
+
+    def shard_state(ts: TrainState) -> TrainState:
+        return jax.device_put(ts, state_shardings(ts))
+
+    def step(ts, images, labels, lr):
+        return train_step(model_cfg, train_cfg, ts, images, labels, lr)
+
+    # Shardings on the inputs are enough: XLA propagates them through the
+    # step and inserts the DP gradient all-reduce; out_shardings pin the new
+    # state to the same layout so donation works across steps.
+    def jitted(ts, images, labels, lr):
+        images = jax.device_put(images, img_sh)
+        labels = jax.device_put(labels, lbl_sh)
+        return step(ts, images, labels, lr)
+
+    return jitted, shard_state, (img_sh, lbl_sh)

@@ -8,9 +8,15 @@ without TPU hardware.  Must run before the first ``import jax`` anywhere.
 import os
 
 os.environ["JAX_PLATFORMS"] = "cpu"
-_flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in _flags:
-    os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+# On this image the TPU plugin force-appends itself to jax_platforms
+# (overriding JAX_PLATFORMS), and jax 0.9 ignores the old
+# xla_force_host_platform_device_count XLA flag — the supported mechanism is
+# the jax_num_cpu_devices config, set before any backend initialises.
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

@@ -1,0 +1,145 @@
+"""Multi-device tests on the faked 8-device CPU mesh (SURVEY.md §4).
+
+The reference has zero distributed surface; these tests cover the new one:
+mesh construction, sharding rules, and — the BASELINE.json config #5
+contract — that a data-parallel train step over 8 devices produces the same
+numbers as the single-device step on the same global batch.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import PartitionSpec as P
+
+from resnetc_tpu import train
+from resnetc_tpu.models import resnet
+from resnetc_tpu.parallel import (
+    batch_sharding,
+    create_mesh,
+    label_sharding,
+    param_shardings,
+)
+
+
+def test_eight_virtual_devices_present():
+    assert len(jax.devices()) == 8, (
+        "tests must run under XLA_FLAGS=--xla_force_host_platform_device_count=8"
+    )
+
+
+def test_create_mesh_shapes():
+    mesh = create_mesh()
+    assert mesh.shape == {"data": 8, "model": 1}
+    mesh42 = create_mesh(4, 2)
+    assert mesh42.shape == {"data": 4, "model": 2}
+    with pytest.raises(ValueError):
+        create_mesh(16, 1)
+    with pytest.raises(ValueError):
+        create_mesh(None, 3)  # 8 % 3 != 0
+
+
+def test_param_sharding_rules():
+    mesh = create_mesh(4, 2)
+    tree = {
+        "conv": {"weight": jnp.zeros((3, 3, 64, 128))},
+        "stem": {"weight": jnp.zeros((7, 7, 3, 64))},
+        "bn": {"weight": jnp.zeros((128,)), "running_mean": jnp.zeros((128,))},
+        "odd": {"weight": jnp.zeros((7,))},  # 7 % 2 != 0 -> replicate
+        "fc": {"weight": jnp.zeros((1000, 512)), "bias": jnp.zeros((1000,))},
+    }
+    sh = param_shardings(mesh, tree)
+    assert sh["conv"]["weight"].spec == P(None, None, None, "model")
+    assert sh["bn"]["weight"].spec == P("model")
+    assert sh["odd"]["weight"].spec == P(None)
+    assert sh["fc"]["weight"].spec == P("model", None)
+    assert sh["fc"]["bias"].spec == P("model")
+
+
+def test_batch_sharding_places_batch_over_data_axis():
+    mesh = create_mesh()
+    x = jnp.zeros((16, 8, 8, 3))
+    xs = jax.device_put(x, batch_sharding(mesh))
+    assert xs.sharding.spec == P("data")
+    # Each device holds 1/8 of the batch.
+    assert xs.addressable_shards[0].data.shape == (2, 8, 8, 3)
+
+
+def test_dp_train_step_matches_single_device():
+    """Gradient all-reduce correctness: 8-way DP == single-device on the
+    same global batch (fp32, momentum+wd on, BN batch stats global)."""
+    cfg = resnet.get_config("resnet18", num_classes=10)
+    tcfg = train.TrainConfig(lr=0.1, momentum=0.9, weight_decay=1e-4, policy_name="fp32")
+
+    ts0 = train.init_train_state(cfg, jax.random.key(0))
+    x = jax.random.normal(jax.random.key(1), (16, 32, 32, 3), jnp.float32)
+    y = (jnp.arange(16) % 10).astype(jnp.int32)
+    lr = jnp.float32(0.1)
+
+    # Single device.
+    ts_ref, m_ref = train.train_step(cfg, tcfg, ts0, x, y, lr)
+
+    # 8-way DP.
+    mesh = create_mesh()
+    jitted, shard_state, _ = train.sharded_train_step(cfg, tcfg, mesh)
+    ts_dp = shard_state(train.init_train_state(cfg, jax.random.key(0)))
+    ts_dp, m_dp = jitted(ts_dp, x, y, lr)
+
+    np.testing.assert_allclose(float(m_dp["loss"]), float(m_ref["loss"]), rtol=1e-5)
+    np.testing.assert_allclose(
+        float(m_dp["grad_norm"]), float(m_ref["grad_norm"]), rtol=1e-4
+    )
+    from resnetc_tpu.checkpoint import flatten_tree
+
+    ref_flat = flatten_tree(ts_ref.params)
+    dp_flat = flatten_tree(jax.device_get(ts_dp.params))
+    for k in ref_flat:
+        np.testing.assert_allclose(
+            np.asarray(dp_flat[k]), np.asarray(ref_flat[k]),
+            rtol=1e-4, atol=5e-6, err_msg=k,  # atol: all-reduce order noise
+        )
+    # BN running stats (global-batch statistics) must agree as well.
+    ref_bn = flatten_tree(ts_ref.bn_state)
+    dp_bn = flatten_tree(jax.device_get(ts_dp.bn_state))
+    for k in ref_bn:
+        np.testing.assert_allclose(
+            np.asarray(dp_bn[k]), np.asarray(ref_bn[k]),
+            rtol=1e-4, atol=5e-6, err_msg=k,
+        )
+
+
+def test_dp_inference_matches_single_device():
+    """Sharded vs unsharded must be numerically equivalent; fp32 so the check
+    is tight (bf16 reduction-order noise through 50 layers would swamp it)."""
+    from resnetc_tpu.tensor import FP32
+
+    cfg = resnet.get_config("resnet50", num_classes=10)
+    variables = resnet.init(cfg, jax.random.key(2))
+    x = jax.random.normal(jax.random.key(3), (8, 32, 32, 3), jnp.float32)
+
+    ref, _ = jax.jit(lambda v, xx: resnet.forward(cfg, v, xx, policy=FP32))(variables, x)
+
+    mesh = create_mesh()
+    vs = jax.device_put(variables, param_shardings(mesh, variables))
+    xs = jax.device_put(x, batch_sharding(mesh))
+    got, _ = jax.jit(lambda v, xx: resnet.forward(cfg, v, xx, policy=FP32))(vs, xs)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(ref), rtol=1e-4, atol=1e-4
+    )
+
+
+def test_tp_forward_matches_replicated():
+    """Channel TP (model axis) must be numerics-preserving: XLA inserts the
+    collectives, results match the replicated run."""
+    cfg = resnet.get_config("resnet18", num_classes=8)
+    variables = resnet.init(cfg, jax.random.key(4))
+    x = jax.random.normal(jax.random.key(5), (4, 32, 32, 3), jnp.float32)
+    from resnetc_tpu.tensor import FP32
+
+    ref, _ = jax.jit(lambda v, xx: resnet.forward(cfg, v, xx, policy=FP32))(variables, x)
+
+    mesh = create_mesh(2, 4)
+    vs = jax.device_put(variables, param_shardings(mesh, variables))
+    xs = jax.device_put(x, batch_sharding(mesh))
+    got, _ = jax.jit(lambda v, xx: resnet.forward(cfg, v, xx, policy=FP32))(vs, xs)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-4, atol=1e-5)
