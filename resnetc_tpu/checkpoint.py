@@ -114,12 +114,33 @@ def load_reference_format(
     replacing the reference's silent flat load + abort-on-view.
     """
     directory = Path(directory)
+    shapes = param_shapes(cfg)
+    for key, shape in shapes.items():
+        if not (directory / key).exists():
+            raise FileNotFoundError(
+                f"missing weight file {directory / key} (expected shape {shape})"
+            )
+
+    # Host read: parallel native slurp when built (the reference reads its
+    # ~467 files serially with two device syncs each, SURVEY.md §3.1);
+    # np.fromfile fallback otherwise.
+    raws: dict[str, np.ndarray]
+    try:
+        from resnetc_tpu import native
+
+        if not native.available():
+            raise RuntimeError
+        keys = list(shapes)
+        counts = [int(np.prod(shapes[k])) for k in keys]
+        arrays = native.read_f32_many([str(directory / k) for k in keys], counts)
+        raws = dict(zip(keys, arrays))
+    except (RuntimeError, ValueError):
+        raws = {k: np.fromfile(directory / k, dtype="<f4") for k in shapes}
+
     flat: dict[str, jax.Array] = {}
-    for key, shape in param_shapes(cfg).items():
+    for key, shape in shapes.items():
         path = directory / key
-        if not path.exists():
-            raise FileNotFoundError(f"missing weight file {path} (expected shape {shape})")
-        raw = np.fromfile(path, dtype="<f4")
+        raw = raws[key]
         if _is_conv_weight(key, shape):
             h, w, i, o = shape
             if raw.size != h * w * i * o:

@@ -1,0 +1,65 @@
+"""Config layer: every hardcoded constant in the reference becomes a flag.
+
+The reference compiles its configuration into the binary: batch/size
+(main.cu:230), the architecture (main.cu:109-125), the weight directory
+(nn.cuh:21), the input path (main.cu:236), eps (ops.cu:150) — its only
+runtime switch is the DEBUG preprocessor define (SURVEY.md §5).  This module
+is the replacement: dataclass configs with CLI parsers for model variant,
+batch, dtype policy, mesh shape, backend, and paths.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+
+from resnetc_tpu.models.resnet import RESNET_CONFIGS
+
+
+@dataclasses.dataclass(frozen=True)
+class RunConfig:
+    """Top-level invocation config shared by the CLI commands."""
+
+    model: str = "resnet50"
+    num_classes: int = 1000
+    batch_size: int = 256
+    image_size: int = 224
+    policy: str = "bf16"  # "bf16" | "fp32"
+    backend: str = "xla"  # "xla" | "pallas" | "int8"
+    weights_dir: str | None = None  # reference raw-f32 weight directory
+    data_dim: int = 1  # mesh data axis
+    model_dim: int = 1  # mesh model axis (channel TP)
+    seed: int = 0
+
+
+def add_run_args(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--model", default="resnet50", choices=sorted(RESNET_CONFIGS))
+    p.add_argument("--num-classes", type=int, default=1000)
+    p.add_argument("--batch-size", type=int, default=256)
+    p.add_argument("--image-size", type=int, default=224)
+    p.add_argument("--policy", default="bf16", choices=["bf16", "fp32"])
+    p.add_argument("--backend", default="xla", choices=["xla", "pallas", "int8"])
+    p.add_argument(
+        "--weights-dir",
+        default=None,
+        help="directory of raw-f32 weight files named by state_dict key "
+        "(the reference's save_weights.py format); random init if omitted",
+    )
+    p.add_argument("--data-dim", type=int, default=1, help="mesh data-parallel axis size")
+    p.add_argument("--model-dim", type=int, default=1, help="mesh channel-TP axis size")
+    p.add_argument("--seed", type=int, default=0)
+
+
+def run_config_from_args(args: argparse.Namespace) -> RunConfig:
+    return RunConfig(
+        model=args.model,
+        num_classes=args.num_classes,
+        batch_size=args.batch_size,
+        image_size=args.image_size,
+        policy=args.policy,
+        backend=args.backend,
+        weights_dir=args.weights_dir,
+        data_dim=args.data_dim,
+        model_dim=args.model_dim,
+        seed=args.seed,
+    )

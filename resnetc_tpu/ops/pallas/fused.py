@@ -1,0 +1,182 @@
+"""Whole-model Pallas forward: route every op to its best backend.
+
+The serving-path counterpart of models.resnet.forward_folded, with the
+BASELINE.json north-star fusion applied: every conv+BN(+residual)+ReLU group
+runs as ONE fused MXU kernel —
+
+- 1x1 convs (incl. strided downsamples) -> gemm.matmul via conv1x1_fused,
+  with the residual add and ReLU in the epilogue;
+- 3x3 stride-1 convs -> conv3x3_s1_fused (nine-shift implicit GEMM);
+- 3x3 stride-2 convs (three per net) and the 7x7 stem -> XLA conv (+fused
+  elementwise epilogue, which XLA folds in) — ~3-8% of FLOPs, shapes where
+  a hand kernel has no edge;
+- max pool -> pool.max_pool2d; global avg pool + fc -> one matmul epilogue.
+
+Consumes the same BN-folded tree as forward_folded, so the parity tests can
+compare the two paths tile-for-tile.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from resnetc_tpu.models.resnet import ResNetConfig
+from resnetc_tpu.ops import lax_ops
+from resnetc_tpu.ops.pallas.conv import conv1x1_fused, conv3x3_s1_fused
+from resnetc_tpu.ops.pallas.gemm import matmul
+from resnetc_tpu.ops.pallas.pool import max_pool2d
+from resnetc_tpu.tensor import BF16, DtypePolicy
+
+Pytree = dict
+
+
+def _xla_conv(x, entry, *, k, stride, padding, relu, policy):
+    """XLA fallback for shapes Pallas doesn't cover (stem, stride-2 3x3)."""
+    y = lax_ops.conv2d(x, entry["weight"].astype(policy.compute), stride=stride, padding=padding)
+    y = y + entry["bias"].astype(y.dtype)
+    return lax_ops.relu(y) if relu else y
+
+
+def _conv(x, entry, *, stride, relu, residual=None, policy, interpret):
+    """Route one folded conv (+bias+residual+relu) to a kernel."""
+    w = entry["weight"].astype(policy.compute)
+    bias = entry["bias"]
+    kh, kw_, _, _ = w.shape
+    if (kh, kw_) == (1, 1):
+        return conv1x1_fused(
+            x, w, bias, residual, stride=stride, relu=relu, interpret=interpret
+        )
+    if (kh, kw_) == (3, 3) and stride == 1:
+        return conv3x3_s1_fused(
+            x, w, bias, residual, relu=relu, interpret=interpret
+        )
+    # Stem 7x7/2 and the three stride-2 3x3 convs.
+    y = _xla_conv(
+        x, entry, k=kh, stride=stride, padding=kh // 2, relu=False, policy=policy
+    )
+    if residual is not None:
+        y = y + residual.astype(y.dtype)
+    return lax_ops.relu(y) if relu else y
+
+
+def fused_forward(
+    cfg: ResNetConfig,
+    folded: Pytree,
+    x: jax.Array,
+    *,
+    policy: DtypePolicy = BF16,
+    interpret: bool = False,
+) -> jax.Array:
+    """Pallas-fused inference over a BN-folded tree. Returns logits."""
+    x = x.astype(policy.compute)
+
+    y = _conv(x, folded["conv1"], stride=2, relu=True, policy=policy, interpret=interpret)
+    y = max_pool2d(y, kernel_size=3, stride=2, padding=1, interpret=interpret)
+
+    for stage in range(4):
+        blocks = folded[f"layer{stage + 1}"]
+        stage_stride = 1 if stage == 0 else 2
+        for b in range(cfg.stage_blocks[stage]):
+            blk = blocks[str(b)]
+            s = stage_stride if b == 0 else 1
+            if "downsample" in blk:
+                short = _conv(
+                    y, blk["downsample"], stride=s, relu=False,
+                    policy=policy, interpret=interpret,
+                )
+            else:
+                short = y
+            if cfg.block == "bottleneck":
+                z = _conv(y, blk["conv1"], stride=1, relu=True, policy=policy, interpret=interpret)
+                z = _conv(z, blk["conv2"], stride=s, relu=True, policy=policy, interpret=interpret)
+                # Final 1x1: residual-add + ReLU fused into the GEMM epilogue.
+                y = _conv(
+                    z, blk["conv3"], stride=1, relu=True, residual=short,
+                    policy=policy, interpret=interpret,
+                )
+            else:
+                z = _conv(y, blk["conv1"], stride=s, relu=True, policy=policy, interpret=interpret)
+                y = _conv(
+                    z, blk["conv2"], stride=1, relu=True, residual=short,
+                    policy=policy, interpret=interpret,
+                )
+
+    feats = jnp.mean(y.astype(jnp.float32), axis=(1, 2)).astype(policy.compute)
+    logits = matmul(
+        feats,
+        jnp.transpose(folded["fc"]["weight"]).astype(policy.compute),
+        folded["fc"]["bias"],
+        out_dtype=policy.output,
+        interpret=interpret,
+    )
+    return logits
+
+
+def _conv_q(x, entry, *, stride, relu, residual=None, policy, interpret):
+    """Like _conv but routes int8-quantized 1x1 entries to the int8 GEMM."""
+    from resnetc_tpu.ops.pallas.quant import conv1x1_int8
+
+    if "w_q" in entry:
+        return conv1x1_int8(
+            x, entry["w_q"], entry["scale_w"], entry["bias"], residual,
+            stride=stride, relu=relu, out_dtype=policy.compute,
+            interpret=interpret,
+        )
+    return _conv(
+        x, entry, stride=stride, relu=relu, residual=residual,
+        policy=policy, interpret=interpret,
+    )
+
+
+def fused_forward_int8(
+    cfg: ResNetConfig,
+    qfolded: Pytree,
+    x: jax.Array,
+    *,
+    policy: DtypePolicy = BF16,
+    interpret: bool = False,
+) -> jax.Array:
+    """Int8 serving variant: 1x1 convs + fc on the int8 MXU path (2x bf16
+    peak on v5e), 3x3/7x7 convs bf16. Input tree from quant.quantize_folded."""
+    from resnetc_tpu.ops.pallas.quant import int8_matmul, quantize_per_tensor
+
+    x = x.astype(policy.compute)
+    y = _conv(x, qfolded["conv1"], stride=2, relu=True, policy=policy, interpret=interpret)
+    y = max_pool2d(y, kernel_size=3, stride=2, padding=1, interpret=interpret)
+
+    for stage in range(4):
+        blocks = qfolded[f"layer{stage + 1}"]
+        stage_stride = 1 if stage == 0 else 2
+        for b in range(cfg.stage_blocks[stage]):
+            blk = blocks[str(b)]
+            s = stage_stride if b == 0 else 1
+            if "downsample" in blk:
+                short = _conv_q(
+                    y, blk["downsample"], stride=s, relu=False,
+                    policy=policy, interpret=interpret,
+                )
+            else:
+                short = y
+            if cfg.block == "bottleneck":
+                z = _conv_q(y, blk["conv1"], stride=1, relu=True, policy=policy, interpret=interpret)
+                z = _conv_q(z, blk["conv2"], stride=s, relu=True, policy=policy, interpret=interpret)
+                y = _conv_q(
+                    z, blk["conv3"], stride=1, relu=True, residual=short,
+                    policy=policy, interpret=interpret,
+                )
+            else:
+                z = _conv_q(y, blk["conv1"], stride=s, relu=True, policy=policy, interpret=interpret)
+                y = _conv_q(
+                    z, blk["conv2"], stride=1, relu=True, residual=short,
+                    policy=policy, interpret=interpret,
+                )
+
+    feats = jnp.mean(y.astype(jnp.float32), axis=(1, 2))
+    fc = qfolded["fc"]
+    fq, fscale = quantize_per_tensor(feats)
+    logits = int8_matmul(
+        fq, fc["w_q"], fscale, fc["scale_w"], fc["bias"],
+        out_dtype=policy.output, interpret=interpret,
+    )
+    return logits

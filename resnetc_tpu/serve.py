@@ -61,7 +61,13 @@ class InferenceEngine:
     ):
         self.model_cfg = model_cfg
         self.policy = policy
+        if backend not in ("xla", "pallas", "int8"):
+            raise ValueError(f"backend must be 'xla', 'pallas' or 'int8', got {backend!r}")
         folded = resnet.fold_inference_params(model_cfg, variables)
+        if backend == "int8":
+            from resnetc_tpu.ops.pallas.quant import quantize_folded
+
+            folded = quantize_folded(folded)
         # Pre-cast weights to the compute dtype once, on device — serving
         # never pays the cast again.
         folded = jax.tree.map(lambda a: jnp.asarray(a), folded)
@@ -74,11 +80,16 @@ class InferenceEngine:
         if self._backend == "xla":
             def run(folded, x):
                 return resnet.forward_folded(cfg, folded, x, policy=policy)
-        else:
+        elif self._backend == "pallas":
             from resnetc_tpu.ops.pallas import fused_forward
 
             def run(folded, x):
                 return fused_forward(cfg, folded, x, policy=policy)
+        else:  # int8
+            from resnetc_tpu.ops.pallas.fused import fused_forward_int8
+
+            def run(folded, x):
+                return fused_forward_int8(cfg, folded, x, policy=policy)
         return run
 
     def compile(self, batch: int, height: int = 224, width: int = 224) -> Callable:
