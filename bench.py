@@ -65,6 +65,26 @@ def main() -> None:
     mxu_util = achieved_flops / peak if peak else None
     target = (peak * ROOFLINE_FRACTION / flops) if peak else None
 
+    # Training throughput (fwd+bwd+SGD, BN batch stats), same model/batch.
+    import time
+
+    from resnetc_tpu import train as train_mod
+
+    tcfg = train_mod.TrainConfig(lr=0.1, policy_name="bf16")
+    ts = train_mod.init_train_state(cfg, jax.random.key(1))
+    train_batch = batch if on_tpu else 8
+    xt = images[:train_batch]
+    yt = jnp.asarray(np.arange(train_batch, dtype=np.int32) % 1000)
+    lr = jnp.float32(0.1)
+    ts, _ = train_mod.train_step(cfg, tcfg, ts, xt, yt, lr)  # compile + warm
+    jax.block_until_ready(ts.params)
+    t0 = time.perf_counter()
+    train_steps = 10 if on_tpu else 2
+    for _ in range(train_steps):
+        ts, m = train_mod.train_step(cfg, tcfg, ts, xt, yt, lr)
+    jax.block_until_ready(ts.params)
+    train_ips = train_batch * train_steps / (time.perf_counter() - t0)
+
     result = {
         "metric": f"{model} batch-{batch} bf16 inference throughput",
         "value": round(tp.images_per_sec, 2),
@@ -76,6 +96,7 @@ def main() -> None:
         "p50_latency_ms": round(lat.p50_ms, 3),
         "p99_latency_ms": round(lat.p99_ms, 3),
         "gflops_per_image": round(flops / 1e9, 2),
+        "train_images_per_sec": round(train_ips, 2),
     }
     print(json.dumps(result))
 

@@ -113,6 +113,11 @@ def cmd_train(args) -> int:
     log = MetricsLogger(prefix="train")
 
     ts = train.init_train_state(cfg, jax.random.key(run.seed))
+    if args.resume:
+        from resnetc_tpu.checkpoint import load_train_state
+
+        ts = load_train_state(args.resume, jax.device_get(ts))
+        print(f"resumed from {args.resume} at step {int(ts.step)}")
     if run.data_dim * run.model_dim > 1:
         from resnetc_tpu.parallel import create_mesh
 
@@ -241,6 +246,7 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--warmup-steps", type=int, default=5)
     p.add_argument("--log-every", type=int, default=10)
     p.add_argument("--checkpoint-dir", default=None)
+    p.add_argument("--resume", default=None, help="checkpoint dir to resume from")
     p.set_defaults(fn=cmd_train)
 
     p = sub.add_parser("export-weights", help="write raw-f32 weight files")

@@ -1,0 +1,203 @@
+"""Bottleneck-block megakernel: a whole residual block in one MXU pass.
+
+Why: at ResNet-50 batch-256 the XLA per-conv path is HBM-bound (~46% MXU) —
+every conv writes its activation to HBM and the next reads it back.  This
+kernel keeps the two intermediate activations of a stride-1 bottleneck block
+(reference ResnetBlock, main.cu:18-46) resident in VMEM:
+
+    y = relu( conv1x1(relu(conv3x3(relu(conv1x1(x)·W1), W2)), W3) + x )
+
+reading x once and writing y once — ~2.7x less HBM traffic than conv-by-conv.
+
+Layout: the whole block computes in **padded-row space** — x is zero-padded
+spatially and flattened to rows (bt*Hp*Wp, 4c) per grid step:
+
+- GEMM 1 (1x1, 4c->c) runs over all padded rows; a constant 0/1 ring mask
+  zeroes the pad rows (conv padding semantics) — no scatter;
+- the 3x3 is nine shifted MXU passes over the VMEM-resident z1 rows.  Wp is
+  rounded up to a multiple of 8 so the kh*Wp offsets are sublane-ALIGNED
+  (free); the three kw sub-offsets are paid once by materialising three
+  kw-shifted copies of z1 (2 sublane rotates total instead of 6 rotated
+  loads inside the tap loop);
+- GEMM 3 (1x1, c->4c) adds bias + the residual (the same padded x rows, no
+  second HBM read), applies ReLU, and stores the interior rows.
+
+Compute overhead: the pad ring is computed and discarded — ~10-25% extra
+rows at ResNet-50 shapes; the HBM savings dominate wherever the per-conv
+path is memory-bound.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _pick_bt(b: int, hp: int, wp: int, c: int, c4: int) -> int:
+    """Largest divisor of B whose working set fits the VMEM budget."""
+    budget = 9 * 2**20
+    weights = (c4 * c + 9 * c * c + c * c4) * 2
+    best = 1
+    for bt in range(1, b + 1):
+        if b % bt:
+            continue
+        rows = bt * hp * wp
+        work = (
+            rows * c4 * 2          # xp block (bf16)
+            + 3 * rows * c * 2     # three kw-shifted z1 copies (bf16)
+            + rows * c * 4         # 3x3 accumulator (fp32)
+            + rows * c4 * 4        # final accumulator (fp32)
+            + weights
+        )
+        if work > budget:
+            break
+        best = bt
+    return best
+
+
+def _block_kernel(
+    x_ref, w1_ref, b1_ref, w2_ref, b2_ref, w3_ref, b3_ref, mask_ref,
+    o_ref, z1_ref, acc2_ref,
+    *, bt, hp, wp, h, w_out, m_acc, c, c4,
+):
+    rows = bt * hp * wp
+
+    # --- conv1 (1x1, 4c -> c) over all padded rows, ring zeroed by mask.
+    z1 = jnp.dot(x_ref[:], w1_ref[:], preferred_element_type=jnp.float32)
+    z1 = jnp.maximum(z1 + b1_ref[:].astype(jnp.float32), 0.0)
+    z1 = z1.reshape(bt, hp * wp, c) * mask_ref[:].astype(jnp.float32)
+    z1 = z1.reshape(rows, c).astype(z1_ref.dtype)
+
+    # Interleave the three kw-shifts along channels into one (rows, 3c)
+    # buffer (kw=0 aligned store; kw=1/2 pay one sublane rotate each).
+    # Every 3x3 "tap" below is then an ALIGNED load (offset kh*wp with
+    # wp % 8 == 0) and the nine K=c dots collapse to three K=3c dots.
+    usable = rows - 2
+    for kw in range(3):
+        z1_ref[0:usable, kw * c : (kw + 1) * c] = jax.lax.slice_in_dim(
+            z1, kw, kw + usable, axis=0
+        )
+
+    # --- conv2 (3x3 s1): three aligned MXU passes, K = 3c.
+    w2r = w2_ref[:].reshape(3, 3 * c, c)  # (kh, kw*c, cout)
+    for kh in range(3):
+        lhs = z1_ref[kh * wp : kh * wp + m_acc, :]
+        contrib = jnp.dot(lhs, w2r[kh], preferred_element_type=jnp.float32)
+        if kh == 0:
+            acc2_ref[:] = contrib
+        else:
+            acc2_ref[:] += contrib
+    z2 = jnp.maximum(acc2_ref[:] + b2_ref[:].astype(jnp.float32), 0.0).astype(
+        z1_ref.dtype
+    )
+
+    # --- conv3 (1x1, c -> 4c) + residual + ReLU; store interior rows only.
+    # Row t of z2 is padded position t + wp + 1, so the residual is the x
+    # block at that offset and output row r*Wp + col maps to t = r*wp + col.
+    y = jnp.dot(z2, w3_ref[:], preferred_element_type=jnp.float32)
+    y = y + b3_ref[:].astype(jnp.float32)
+    y = y + x_ref[wp + 1 : wp + 1 + m_acc, :].astype(jnp.float32)
+    y = jnp.maximum(y, 0.0).astype(o_ref.dtype)
+    for bi in range(bt):
+        img = jax.lax.slice_in_dim(y, bi * hp * wp, bi * hp * wp + h * wp, axis=0)
+        img = img.reshape(h, wp, c4)[:, :w_out, :]
+        o_ref[bi] = img
+
+
+@functools.partial(jax.jit, static_argnames=("bt", "interpret"))
+def bottleneck_block_fused(
+    x: jax.Array,
+    w1: jax.Array, b1: jax.Array,
+    w2: jax.Array, b2: jax.Array,
+    w3: jax.Array, b3: jax.Array,
+    *,
+    bt: int | None = None,
+    interpret: bool = False,
+) -> jax.Array:
+    """One stride-1 bottleneck residual block, fused.
+
+    x: (B, H, W, 4c) NHWC; w1: (4c, c) or (1,1,4c,c); w2: (3,3,c,c);
+    w3: (c, 4c) or (1,1,c,4c); biases BN-folded. Output (B, H, W, 4c),
+    dtype = x.dtype, fp32 accumulation throughout.
+    """
+    if w1.ndim == 4:
+        w1 = w1[0, 0]
+    if w3.ndim == 4:
+        w3 = w3[0, 0]
+    b, h, w_sp, c4 = x.shape
+    c = w1.shape[-1]
+    assert w1.shape == (c4, c) and w2.shape == (3, 3, c, c) and w3.shape == (c, c4), (
+        w1.shape, w2.shape, w3.shape, x.shape,
+    )
+
+    # Wp multiple of 8: kh*Wp tap offsets stay sublane-aligned, and every
+    # row-block size is automatically divisible by 8.
+    wp = _round_up(w_sp + 2, 8)
+    bt = bt or _pick_bt(b, h + 2, wp, c, c4)
+
+    # Grow bottom padding until the furthest shifted slice fits.
+    extra = 0
+    while True:
+        hp = h + 2 + extra
+        m_acc = _round_up((bt - 1) * hp * wp + h * wp, 128)
+        if m_acc + 2 * wp + 2 <= bt * hp * wp:
+            break
+        extra += 1
+
+    x_pad = jnp.pad(
+        x, ((0, 0), (1, 1 + extra), (1, wp - w_sp - 1), (0, 0))
+    )
+    x_rows = x_pad.reshape(b * hp * wp, c4)
+
+    # 0/1 interior mask over one image's padded rows (pad ring + tail = 0).
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (hp * wp, 1), 0)
+    r, cc = row_ids // wp, row_ids % wp
+    mask = (
+        (r >= 1) & (r <= h) & (cc >= 1) & (cc <= w_sp)
+    ).astype(jnp.float32)
+
+    grid = (b // bt,)
+    out = pl.pallas_call(
+        functools.partial(
+            _block_kernel,
+            bt=bt, hp=hp, wp=wp, h=h, w_out=w_sp, m_acc=m_acc, c=c, c4=c4,
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((bt * hp * wp, c4), lambda i: (i, 0)),
+            pl.BlockSpec((c4, c), lambda i: (0, 0)),
+            pl.BlockSpec((1, c), lambda i: (0, 0)),
+            pl.BlockSpec((3, 3, c, c), lambda i: (0, 0, 0, 0)),
+            pl.BlockSpec((1, c), lambda i: (0, 0)),
+            pl.BlockSpec((c, c4), lambda i: (0, 0)),
+            pl.BlockSpec((1, c4), lambda i: (0, 0)),
+            pl.BlockSpec((hp * wp, 1), lambda i: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((bt, h, w_sp, c4), lambda i: (i, 0, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, h, w_sp, c4), x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((bt * hp * wp, 3 * c), x.dtype),  # kw-interleaved z1
+            pltpu.VMEM((m_acc, c), jnp.float32),         # 3x3 accumulator
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * hp * wp * (c4 * c + 9 * c * c + c * c4),
+            bytes_accessed=2 * (b * hp * wp * c4 * 2)
+            + (c4 * c + 9 * c * c + c * c4) * 2,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(
+        x_rows, w1, b1[None, :], w2, b2[None, :], w3, b3[None, :], mask,
+    )
+    return out

@@ -166,12 +166,15 @@ def conv3x3_s1_fused(
 
     # Rows needed by the furthest shift (kh=kw=2) plus store slack; grow the
     # bottom zero-padding until the padded image grid covers them.
+    # Grow bottom padding until the furthest shifted slice fits AND the
+    # row-block size is sublane-aligned (Mosaic: second-to-last block dim
+    # must be divisible by 8).
     extra = 0
     while True:
         hp = h + 2 + extra
         rows_per_image = hp * wp
         m_acc = _round_up((bt - 1) * rows_per_image + h * wp, 128)
-        if m_acc + 2 * wp + 2 <= bt * rows_per_image:
+        if m_acc + 2 * wp + 2 <= bt * rows_per_image and (bt * rows_per_image) % 8 == 0:
             break
         extra += 1
 

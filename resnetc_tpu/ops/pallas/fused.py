@@ -66,9 +66,16 @@ def fused_forward(
     x: jax.Array,
     *,
     policy: DtypePolicy = BF16,
+    block_fusion: bool = False,
     interpret: bool = False,
 ) -> jax.Array:
-    """Pallas-fused inference over a BN-folded tree. Returns logits."""
+    """Pallas-fused inference over a BN-folded tree. Returns logits.
+
+    ``block_fusion=True`` additionally routes every stride-1 bottleneck
+    residual block through the single-kernel megakernel
+    (ops.pallas.block.bottleneck_block_fused) — one HBM read and one write
+    per block instead of six.
+    """
     x = x.astype(policy.compute)
 
     y = _conv(x, folded["conv1"], stride=2, relu=True, policy=policy, interpret=interpret)
@@ -80,6 +87,22 @@ def fused_forward(
         for b in range(cfg.stage_blocks[stage]):
             blk = blocks[str(b)]
             s = stage_stride if b == 0 else 1
+            if (
+                block_fusion
+                and cfg.block == "bottleneck"
+                and s == 1
+                and "downsample" not in blk
+            ):
+                from resnetc_tpu.ops.pallas.block import bottleneck_block_fused
+
+                y = bottleneck_block_fused(
+                    y,
+                    blk["conv1"]["weight"].astype(policy.compute), blk["conv1"]["bias"],
+                    blk["conv2"]["weight"].astype(policy.compute), blk["conv2"]["bias"],
+                    blk["conv3"]["weight"].astype(policy.compute), blk["conv3"]["bias"],
+                    interpret=interpret,
+                )
+                continue
             if "downsample" in blk:
                 short = _conv(
                     y, blk["downsample"], stride=s, relu=False,

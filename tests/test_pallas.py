@@ -104,3 +104,61 @@ def test_fused_forward_matches_folded_forward(rng):
     got = fused_forward(cfg, folded, x, policy=FP32, interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-3, atol=1e-3)
     assert np.asarray(got).argmax(-1).tolist() == np.asarray(ref).argmax(-1).tolist()
+
+
+@pytest.mark.parametrize("k,s,p,hw", [(7, 1, 0, 7), (3, 2, 1, 16), (2, 2, 0, 8)])
+def test_avg_pool2d_matches_oracle(rng, k, s, p, hw):
+    from resnetc_tpu.ops.pallas.pool import avg_pool2d as pallas_avg
+
+    x = jnp.asarray(rng.standard_normal((4, hw, hw, 24), dtype=np.float32))
+    ref = np.asarray(lax_ops.avg_pool2d(x, kernel_size=k, stride=s, padding=p))
+    got = pallas_avg(x, kernel_size=k, stride=s, padding=p, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), ref, rtol=1e-5, atol=1e-5)
+
+
+def test_elementwise_kernels(rng):
+    from resnetc_tpu.ops.pallas import elementwise as ew
+
+    a = jnp.asarray(rng.standard_normal((3, 17, 50), dtype=np.float32))
+    b = jnp.asarray(rng.standard_normal((3, 17, 50), dtype=np.float32))
+    np.testing.assert_array_equal(
+        np.asarray(ew.relu(a, interpret=True)), np.maximum(np.asarray(a), 0)
+    )
+    np.testing.assert_allclose(
+        np.asarray(ew.add(a, b, interpret=True)), np.asarray(a) + np.asarray(b), rtol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(ew.add_relu(a, b, interpret=True)),
+        np.maximum(np.asarray(a) + np.asarray(b), 0), rtol=1e-6,
+    )
+
+
+def test_bottleneck_block_fused_matches_oracle(rng):
+    from resnetc_tpu.ops.pallas.block import bottleneck_block_fused
+
+    b, h, c = 2, 9, 16
+    c4 = 4 * c
+    x = jnp.asarray(rng.standard_normal((b, h, h, c4), dtype=np.float32))
+    w1 = jnp.asarray(rng.standard_normal((c4, c), dtype=np.float32) * 0.1)
+    b1 = jnp.asarray(rng.standard_normal((c,), dtype=np.float32))
+    w2 = jnp.asarray(rng.standard_normal((3, 3, c, c), dtype=np.float32) * 0.1)
+    b2 = jnp.asarray(rng.standard_normal((c,), dtype=np.float32))
+    w3 = jnp.asarray(rng.standard_normal((c, c4), dtype=np.float32) * 0.1)
+    b3 = jnp.asarray(rng.standard_normal((c4,), dtype=np.float32))
+
+    z1 = jnp.maximum(lax_ops.conv2d(x, w1.reshape(1, 1, c4, c)) + b1, 0)
+    z2 = jnp.maximum(lax_ops.conv2d(z1, w2, stride=1, padding=1) + b2, 0)
+    ref = jnp.maximum(lax_ops.conv2d(z2, w3.reshape(1, 1, c, c4)) + b3 + x, 0)
+    got = bottleneck_block_fused(x, w1, b1, w2, b2, w3, b3, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-4, atol=1e-4)
+
+
+def test_fused_forward_block_fusion_matches(rng):
+    """block_fusion=True must be numerically identical (fp32) to the routed path."""
+    cfg = resnet.get_config("resnet50", num_classes=7)
+    variables = resnet.init(cfg, jax.random.key(2))
+    folded = resnet.fold_inference_params(cfg, variables)
+    x = jnp.asarray(rng.standard_normal((1, 32, 32, 3), dtype=np.float32))
+    a = fused_forward(cfg, folded, x, policy=FP32, interpret=True)
+    b = fused_forward(cfg, folded, x, policy=FP32, block_fusion=True, interpret=True)
+    np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=1e-3, atol=1e-3)
