@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import json
 import sys
+import time
 
 import jax
 import jax.numpy as jnp
@@ -66,8 +67,6 @@ def main() -> None:
     target = (peak * ROOFLINE_FRACTION / flops) if peak else None
 
     # Training throughput (fwd+bwd+SGD, BN batch stats), same model/batch.
-    import time
-
     from resnetc_tpu import train as train_mod
 
     tcfg = train_mod.TrainConfig(lr=0.1, policy_name="bf16")
@@ -76,14 +75,24 @@ def main() -> None:
     xt = images[:train_batch]
     yt = jnp.asarray(np.arange(train_batch, dtype=np.int32) % 1000)
     lr = jnp.float32(0.1)
-    ts, _ = train_mod.train_step(cfg, tcfg, ts, xt, yt, lr)  # compile + warm
-    jax.block_until_ready(ts.params)
-    t0 = time.perf_counter()
+
+    def run_steps(ts, n):
+        """n chained steps (each consumes the previous state), then force
+        completion with a host fetch — block_until_ready does not actually
+        wait on this runtime (see utils/timing.py)."""
+        for _ in range(n):
+            ts, m = train_mod.train_step(cfg, tcfg, ts, xt, yt, lr)
+        return ts, float(m["loss"])
+
+    ts, _ = run_steps(ts, 1)  # compile + warm
     train_steps = 10 if on_tpu else 2
-    for _ in range(train_steps):
-        ts, m = train_mod.train_step(cfg, tcfg, ts, xt, yt, lr)
-    jax.block_until_ready(ts.params)
-    train_ips = train_batch * train_steps / (time.perf_counter() - t0)
+    t0 = time.perf_counter()
+    ts, _ = run_steps(ts, 1)
+    t_one = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    ts, _ = run_steps(ts, train_steps + 1)
+    t_many = time.perf_counter() - t0
+    train_ips = train_batch * train_steps / max(t_many - t_one, 1e-9)
 
     result = {
         "metric": f"{model} batch-{batch} bf16 inference throughput",

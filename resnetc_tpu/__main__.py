@@ -128,10 +128,26 @@ def cmd_train(args) -> int:
         def step_fn(ts, x, y, lr):
             return train.train_step(cfg, tcfg, ts, x, y, lr)
 
-    batches = synthetic_batches(
-        batch_size=run.batch_size, image_size=run.image_size,
-        steps=args.steps, num_classes=run.num_classes, seed=run.seed,
-    )
+    if args.data_dir:
+        from resnetc_tpu.data import ImageFolderLoader
+
+        loader = ImageFolderLoader(
+            args.data_dir, batch_size=run.batch_size, image_size=run.image_size,
+            train=True, epochs=10**9, seed=run.seed,
+        )
+
+        def take(it, n):
+            for i, item in enumerate(it):
+                if i >= n:
+                    break
+                yield item
+
+        batches = take(iter(loader), args.steps)
+    else:
+        batches = synthetic_batches(
+            batch_size=run.batch_size, image_size=run.image_size,
+            steps=args.steps, num_classes=run.num_classes, seed=run.seed,
+        )
     import time
 
     t_last = time.perf_counter()
@@ -151,6 +167,31 @@ def cmd_train(args) -> int:
 
         save_train_state(args.checkpoint_dir, jax.device_get(ts))
         print(f"saved checkpoint to {args.checkpoint_dir}")
+    if args.export_weights_dir:
+        # Bridge to the serving CLIs: classify/eval/bench load the
+        # reference's raw-f32 format via --weights-dir.
+        from resnetc_tpu.checkpoint import save_reference_format
+        from resnetc_tpu.models.resnet import merge_params_state
+
+        variables = merge_params_state(
+            jax.device_get(ts.params), jax.device_get(ts.bn_state)
+        )
+        n = save_reference_format(variables, args.export_weights_dir)
+        print(f"exported {n} weight files to {args.export_weights_dir}")
+    return 0
+
+
+def cmd_eval(args) -> int:
+    from resnetc_tpu.config import run_config_from_args
+    from resnetc_tpu.data import evaluate
+
+    run = run_config_from_args(args)
+    cfg, engine = _build_engine(run)
+    result = evaluate(
+        engine, args.data_dir,
+        batch_size=run.batch_size, image_size=run.image_size,
+    )
+    print(json.dumps({"model": run.model, **result}))
     return 0
 
 
@@ -247,7 +288,21 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--log-every", type=int, default=10)
     p.add_argument("--checkpoint-dir", default=None)
     p.add_argument("--resume", default=None, help="checkpoint dir to resume from")
+    p.add_argument(
+        "--data-dir", default=None,
+        help="ImageFolder tree (root/<class>/<img>); synthetic data if omitted",
+    )
+    p.add_argument(
+        "--export-weights-dir", default=None,
+        help="after training, also export raw-f32 weight files (for "
+        "--weights-dir in classify/eval/bench)",
+    )
     p.set_defaults(fn=cmd_train)
+
+    p = sub.add_parser("eval", help="top-1 accuracy over an ImageFolder tree")
+    add_run_args(p)
+    p.add_argument("data_dir")
+    p.set_defaults(fn=cmd_eval)
 
     p = sub.add_parser("export-weights", help="write raw-f32 weight files")
     add_run_args(p)

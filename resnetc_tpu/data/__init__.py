@@ -9,3 +9,8 @@ from resnetc_tpu.data.preprocess import (  # noqa: F401
     save_input_bin,
 )
 from resnetc_tpu.data.loader import BatchLoader, synthetic_batches  # noqa: F401
+from resnetc_tpu.data.imagefolder import (  # noqa: F401
+    ImageFolderLoader,
+    evaluate,
+    scan_imagefolder,
+)

@@ -147,24 +147,29 @@ def bench_throughput(
     images: jax.Array,
     *,
     steps: int = 20,
-    warmup: int = 3,
+    warmup: int = 3,  # kept for API compat; the harness warms itself
 ) -> ThroughputResult:
-    """Steady-state batched throughput. The input batch stays device-resident;
-    dispatch is async with a single sync at each timing boundary."""
-    fn = engine.compile(*images.shape[:3])
-    for _ in range(warmup):
-        fn(engine.folded, images).block_until_ready()
-    t0 = time.perf_counter()
-    out = None
-    for _ in range(steps):
-        out = fn(engine.folded, images)
-    out.block_until_ready()
-    dt = time.perf_counter() - t0
+    """Steady-state batched throughput, measured with the chained-loop +
+    fetch harness (utils.timing): on this runtime ``block_until_ready``
+    resolves before device execution finishes, so each timed iteration is a
+    data-dependent loop step inside one jitted program and completion is
+    forced by a host fetch."""
+    from resnetc_tpu.utils.timing import chained_seconds_per_iter
+
+    del warmup
+    images = jnp.asarray(images)
+    run = engine._fn()
+    folded = engine.folded
+
+    def step(x):
+        return run(folded, x)
+
+    sec = chained_seconds_per_iter(step, images, iters=max(8, steps))
     return ThroughputResult(
-        images_per_sec=images.shape[0] * steps / dt,
+        images_per_sec=images.shape[0] / sec,
         batch_size=images.shape[0],
         steps=steps,
-        seconds=dt,
+        seconds=sec * steps,
     )
 
 
@@ -177,17 +182,17 @@ def bench_latency(
 ) -> LatencyResult:
     """Single-request latency distribution (p50/p99 per BASELINE.json #3).
     Each sample is a full blocking round trip, as a serving frontend sees it."""
+    from resnetc_tpu.utils.timing import fetch_seconds
+
     if image.ndim == 3:
         image = image[None]
-    fn = engine.compile(*image.shape[:3])
-    for _ in range(warmup):
-        fn(engine.folded, image).block_until_ready()
-    times = []
-    for _ in range(samples):
-        t0 = time.perf_counter()
-        fn(engine.folded, image).block_until_ready()
-        times.append((time.perf_counter() - t0) * 1e3)
-    arr = np.array(times)
+    run = engine._fn()
+    folded = engine.folded
+    del warmup  # fetch_seconds compiles+warms internally
+    # Each sample is one full dispatch + execution + host fetch — what a
+    # serving frontend actually waits for (tunnel RTT included).
+    times = fetch_seconds(lambda x: run(folded, x), image, samples=samples)
+    arr = np.array(times) * 1e3
     return LatencyResult(
         p50_ms=float(np.percentile(arr, 50)),
         p99_ms=float(np.percentile(arr, 99)),

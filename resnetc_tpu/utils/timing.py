@@ -1,0 +1,100 @@
+"""Trustworthy device timing on asynchronous/tunneled runtimes.
+
+On this machine the TPU is reached through a tunnel whose
+``block_until_ready`` resolves without waiting for device execution, so the
+naive dispatch-loop-then-block benchmark measures RPC overhead, not compute
+(discovered the hard way; see PERF.md).  The only reliable clock is a
+device->host fetch of a value that data-depends on ALL the work.
+
+``chained_seconds_per_iter`` therefore:
+
+1. builds one jitted program that runs the step function ``iters`` times in
+   a ``lax.fori_loop``, each iteration feeding a reduction of its output
+   back into the carry (so no iteration can be elided, narrowed, or
+   hoisted),
+2. reduces the final carry to one scalar and fetches it (forces completion),
+3. measures at two iteration counts and reports the marginal cost per
+   iteration — subtracting the RTT + dispatch constant exactly.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+def _build(step_fn: Callable, feedback: Callable, iters: int):
+    @jax.jit
+    def run(carry):
+        def body(_, c):
+            out = step_fn(c)
+            return feedback(c, out)
+
+        final = lax.fori_loop(0, iters, body, carry)
+        return jnp.sum(
+            jax.tree.leaves(final)[0].astype(jnp.float32)
+        )
+
+    return run
+
+
+def default_feedback(carry, out):
+    """Perturb the carry by a full reduction of the output — every element
+    of ``out`` is live, and the perturbation (1e-20 scale) cannot change
+    the measured computation's cost."""
+    eps = (jnp.sum(out.astype(jnp.float32)) * 1e-20).astype(
+        jax.tree.leaves(carry)[0].dtype
+    )
+    return jax.tree.map(lambda c: c + eps, carry)
+
+
+def chained_seconds_per_iter(
+    step_fn: Callable,
+    carry0,
+    *,
+    iters: int = 20,
+    feedback: Callable = default_feedback,
+    warmup_runs: int = 1,
+) -> float:
+    """Marginal device seconds per execution of ``step_fn``.
+
+    step_fn: carry -> output (pure, jittable); carry0: initial carry (e.g. a
+    device-resident input batch).  Cost of ``feedback`` (one reduction over
+    the output + one add over the carry) is included — keep the carry small
+    relative to the step's own traffic or account for it.
+    """
+    base_iters = max(1, iters // 8)
+    run_base = _build(step_fn, feedback, base_iters)
+    run_full = _build(step_fn, feedback, iters)
+
+    for _ in range(warmup_runs):
+        float(run_base(carry0))
+        float(run_full(carry0))
+
+    t0 = time.perf_counter()
+    float(run_base(carry0))
+    t_base = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    float(run_full(carry0))
+    t_full = time.perf_counter() - t0
+
+    return max((t_full - t_base) / (iters - base_iters), 1e-9)
+
+
+def fetch_seconds(fn: Callable, *args, samples: int = 20) -> list[float]:
+    """End-to-end request latencies: each sample dispatches one call and
+    fetches one scalar of the result to host (the time a serving frontend
+    actually waits, RTT included)."""
+    jfn = jax.jit(lambda *a: jnp.sum(fn(*a).astype(jnp.float32)))
+    float(jfn(*args))  # compile
+    out = []
+    for _ in range(samples):
+        t0 = time.perf_counter()
+        float(jfn(*args))
+        out.append(time.perf_counter() - t0)
+    return out

@@ -17,6 +17,10 @@ import jax  # noqa: E402
 # the jax_num_cpu_devices config, set before any backend initialises.
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_num_cpu_devices", 8)
+# Synchronous CPU dispatch: with the async executor + donated buffers the
+# 8-virtual-device backend showed rare (~1/6) wrong-numerics races in the
+# train-step test; tests trade a little speed for determinism.
+jax.config.update("jax_cpu_enable_async_dispatch", False)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

@@ -1,0 +1,104 @@
+"""ImageFolder dataset tests: scanning, transforms, loaders, eval loop."""
+
+import jax
+import numpy as np
+import pytest
+from PIL import Image
+
+from resnetc_tpu.data.imagefolder import (
+    ImageFolderLoader,
+    evaluate,
+    random_resized_crop,
+    scan_imagefolder,
+)
+
+FIXTURE = "/root/reference/test_imgs/ILSVRC2012_val_00004749.jpeg"
+
+
+@pytest.fixture(scope="module")
+def folder(tmp_path_factory):
+    """Tiny 2-class ImageFolder tree: fixture copies vs solid-color images."""
+    root = tmp_path_factory.mktemp("imagefolder")
+    (root / "cat").mkdir()
+    (root / "dog").mkdir()
+    fix = Image.open(FIXTURE).convert("RGB")
+    for i in range(5):
+        fix.save(root / "cat" / f"c{i}.jpeg")
+        Image.new("RGB", (300, 260), (30 * i, 100, 200)).save(
+            root / "dog" / f"d{i}.jpeg"
+        )
+    return root
+
+
+def test_scan_imagefolder(folder):
+    samples, classes = scan_imagefolder(folder)
+    assert classes == ["cat", "dog"]
+    assert len(samples) == 10
+    labels = sorted(l for _, l in samples)
+    assert labels == [0] * 5 + [1] * 5
+
+
+def test_scan_empty_raises(tmp_path):
+    with pytest.raises(ValueError):
+        scan_imagefolder(tmp_path)
+
+
+def test_random_resized_crop_shapes():
+    rng = np.random.default_rng(0)
+    img = Image.new("RGB", (123, 77))
+    out = random_resized_crop(img, rng, size=64)
+    assert out.size == (64, 64)
+    # Extreme aspect input exercises the center-crop fallback.
+    thin = Image.new("RGB", (400, 10))
+    out = random_resized_crop(thin, rng, size=32)
+    assert out.size == (32, 32)
+
+
+def test_eval_loader_deterministic(folder):
+    a = [
+        (np.asarray(x), np.asarray(y))
+        for x, y in ImageFolderLoader(folder, batch_size=4, image_size=64)
+    ]
+    b = [
+        (np.asarray(x), np.asarray(y))
+        for x, y in ImageFolderLoader(folder, batch_size=4, image_size=64)
+    ]
+    assert len(a) == 2  # 10 // 4
+    for (xa, ya), (xb, yb) in zip(a, b):
+        np.testing.assert_array_equal(xa, xb)
+        np.testing.assert_array_equal(ya, yb)
+        assert xa.shape == (4, 64, 64, 3)
+
+
+def test_train_loader_shuffles_and_augments(folder):
+    loader = ImageFolderLoader(
+        folder, batch_size=4, image_size=64, train=True, epochs=2, seed=1
+    )
+    batches = [(np.asarray(x), np.asarray(y)) for x, y in loader]
+    assert len(batches) == 4  # 2 steps/epoch x 2 epochs
+    # Same image augmented at different positions must differ (random crop).
+    x0 = batches[0][0]
+    assert not np.allclose(x0[0], x0[1]) or batches[0][1][0] != batches[0][1][1]
+    # Epoch orders differ.
+    y_epoch1 = np.concatenate([batches[0][1], batches[1][1]])
+    y_epoch2 = np.concatenate([batches[2][1], batches[3][1]])
+    assert y_epoch1.shape == y_epoch2.shape == (8,)
+
+
+def test_loader_rejects_small_dataset(folder):
+    with pytest.raises(ValueError):
+        ImageFolderLoader(folder, batch_size=64)
+
+
+def test_evaluate_runs_end_to_end(folder):
+    from resnetc_tpu.models import resnet
+    from resnetc_tpu.serve import InferenceEngine
+    from resnetc_tpu.tensor import FP32
+
+    cfg = resnet.get_config("resnet18", num_classes=2)
+    engine = InferenceEngine(
+        cfg, resnet.init(cfg, jax.random.key(0)), policy=FP32
+    )
+    result = evaluate(engine, folder, batch_size=5, image_size=64)
+    assert result["count"] == 10.0
+    assert 0.0 <= result["top1"] <= 1.0
