@@ -220,9 +220,16 @@ def evaluate(engine, root: str | Path, *, batch_size: int = 64, image_size: int 
     loader = ImageFolderLoader(
         root, batch_size=batch_size, image_size=image_size, train=False
     )
-    correct = total = 0
+    correct = correct5 = total = 0
     for images, labels in loader:
-        pred = engine.classify(images)
-        correct += int((pred == np.asarray(labels)).sum())
-        total += len(pred)
-    return {"top1": correct / max(total, 1), "count": float(total)}
+        logits = np.asarray(engine.logits(images), np.float32)
+        y = np.asarray(labels)
+        correct += int((logits.argmax(-1) == y).sum())
+        top5 = np.argsort(logits, axis=-1)[:, -5:]
+        correct5 += int((top5 == y[:, None]).any(axis=-1).sum())
+        total += len(y)
+    return {
+        "top1": correct / max(total, 1),
+        "top5": correct5 / max(total, 1),
+        "count": float(total),
+    }

@@ -294,12 +294,18 @@ def forward(
     train: bool = False,
     axis_name: str | None = None,
     policy: DtypePolicy = BF16,
+    remat: bool = False,
 ) -> tuple[jax.Array, Pytree]:
     """Run the network. ``x`` is NHWC.
 
     Returns ``(logits [B, num_classes] in policy.output dtype, new_state)``
     where ``new_state`` holds updated BN running stats (empty dict when
     ``train=False``).  The whole body is pure — jit/grad/vmap/pjit-compatible.
+
+    ``remat=True`` checkpoints each residual block: the backward pass
+    recomputes block activations instead of keeping them resident, trading
+    ~30% extra FLOPs for O(depth) less activation HBM — the lever for
+    larger-than-memory batch sizes (SURVEY.md: jax.checkpoint disposition).
 
     Equivalent of the reference's resnet152Forward (main.cu:168-226), minus
     the per-op device syncs and the per-stage stdout prints.
@@ -322,10 +328,16 @@ def forward(
         layer_state: dict[str, Any] = {}
         for b in range(cfg.stage_blocks[stage]):
             blk_stride = stage_stride if b == 0 else 1
-            y, blk_state = _block_forward(
-                y, variables[layer_name][str(b)], cfg, blk_stride,
-                train=train, axis_name=axis_name, policy=policy,
-            )
+
+            def block_fn(yy, blk, s=blk_stride):
+                return _block_forward(
+                    yy, blk, cfg, s,
+                    train=train, axis_name=axis_name, policy=policy,
+                )
+
+            if remat:
+                block_fn = jax.checkpoint(block_fn)
+            y, blk_state = block_fn(y, variables[layer_name][str(b)])
             if blk_state:
                 layer_state[str(b)] = blk_state
         if layer_state:

@@ -203,3 +203,147 @@ def fused_forward_int8(
         out_dtype=policy.output, interpret=interpret,
     )
     return logits
+
+
+def calibrate_activation_scales(
+    cfg: ResNetConfig,
+    folded: Pytree,
+    x: jax.Array,
+    *,
+    policy: DtypePolicy = BF16,
+) -> Pytree:
+    """Record per-site activation scales (absmax/127) for static int8 serving.
+
+    Runs the fp forward (plain XLA ops — backend-independent, works on CPU
+    and TPU alike) over a representative batch and captures the input range
+    of every op the int8 path quantizes (1x1 convs, downsamples, fc).
+    Returned tree mirrors quantize_folded's structure; feed it to
+    fused_forward_int8_static.  Scales are device scalars — fetch once and
+    bake them in for serving.
+    """
+    scales: dict = {}
+
+    def record(site: dict, key: str, act: jax.Array):
+        absmax = jnp.max(jnp.abs(act.astype(jnp.float32)))
+        site[key] = jnp.maximum(absmax / 127.0, 1e-8)
+
+    def conv(xx, entry, *, stride, relu):
+        w = entry["weight"].astype(policy.compute)
+        k = w.shape[0]
+        y = lax_ops.conv2d(xx, w, stride=stride, padding=k // 2)
+        y = y + entry["bias"].astype(y.dtype)
+        return lax_ops.relu(y) if relu else y
+
+    x = x.astype(policy.compute)
+    y = conv(x, folded["conv1"], stride=2, relu=True)
+    y = lax_ops.max_pool2d(y, kernel_size=3, stride=2, padding=1)
+
+    for stage in range(4):
+        blocks = folded[f"layer{stage + 1}"]
+        stage_stride = 1 if stage == 0 else 2
+        layer_scales: dict = {}
+        for b in range(cfg.stage_blocks[stage]):
+            blk = blocks[str(b)]
+            s = stage_stride if b == 0 else 1
+            site: dict = {}
+            if "downsample" in blk:
+                record(site, "downsample", y)
+                short = conv(y, blk["downsample"], stride=s, relu=False)
+            else:
+                short = y
+            if cfg.block == "bottleneck":
+                record(site, "conv1", y)
+                z = conv(y, blk["conv1"], stride=1, relu=True)
+                z = conv(z, blk["conv2"], stride=s, relu=True)
+                record(site, "conv3", z)
+                y = lax_ops.relu(conv(z, blk["conv3"], stride=1, relu=False) + short)
+            else:
+                z = conv(y, blk["conv1"], stride=s, relu=True)
+                y = lax_ops.relu(conv(z, blk["conv2"], stride=1, relu=False) + short)
+            if site:
+                layer_scales[str(b)] = site
+        if layer_scales:
+            scales[f"layer{stage + 1}"] = layer_scales
+
+    feats = jnp.mean(y.astype(jnp.float32), axis=(1, 2))
+    scales["fc"] = jnp.maximum(jnp.max(jnp.abs(feats)) / 127.0, 1e-8)
+    return scales
+
+
+def _conv_q_static(x, entry, scale_x, *, stride, relu, residual=None, policy, interpret):
+    """int8 1x1 conv with a pre-calibrated activation scale (no absmax)."""
+    from resnetc_tpu.ops.pallas.quant import int8_matmul, quantize_with_scale
+
+    if "w_q" not in entry or scale_x is None:
+        return _conv_q(
+            x, entry, stride=stride, relu=relu, residual=residual,
+            policy=policy, interpret=interpret,
+        )
+    if stride > 1:
+        x = x[:, ::stride, ::stride, :]
+    b, h, w_sp, cin = x.shape
+    cout = entry["w_q"].shape[-1]
+    x_q = quantize_with_scale(x, scale_x)
+    res2d = residual.reshape(b * h * w_sp, cout) if residual is not None else None
+    out = int8_matmul(
+        x_q.reshape(b * h * w_sp, cin), entry["w_q"], scale_x, entry["scale_w"],
+        entry["bias"], res2d, relu=relu, out_dtype=policy.compute,
+        interpret=interpret,
+    )
+    return out.reshape(b, h, w_sp, cout)
+
+
+def fused_forward_int8_static(
+    cfg: ResNetConfig,
+    qfolded: Pytree,
+    act_scales: Pytree,
+    x: jax.Array,
+    *,
+    policy: DtypePolicy = BF16,
+    interpret: bool = False,
+) -> jax.Array:
+    """Int8 serving with calibrated static activation scales — the dynamic
+    per-batch absmax reductions of fused_forward_int8 disappear."""
+    from resnetc_tpu.ops.pallas.quant import int8_matmul, quantize_with_scale
+
+    x = x.astype(policy.compute)
+    y = _conv(x, qfolded["conv1"], stride=2, relu=True, policy=policy, interpret=interpret)
+    y = max_pool2d(y, kernel_size=3, stride=2, padding=1, interpret=interpret)
+
+    for stage in range(4):
+        blocks = qfolded[f"layer{stage + 1}"]
+        sscales = act_scales.get(f"layer{stage + 1}", {})
+        stage_stride = 1 if stage == 0 else 2
+        for b in range(cfg.stage_blocks[stage]):
+            blk = blocks[str(b)]
+            site = sscales.get(str(b), {})
+            s = stage_stride if b == 0 else 1
+            if "downsample" in blk:
+                short = _conv_q_static(
+                    y, blk["downsample"], site.get("downsample"), stride=s,
+                    relu=False, policy=policy, interpret=interpret,
+                )
+            else:
+                short = y
+            if cfg.block == "bottleneck":
+                z = _conv_q_static(y, blk["conv1"], site.get("conv1"), stride=1, relu=True, policy=policy, interpret=interpret)
+                z = _conv_q(z, blk["conv2"], stride=s, relu=True, policy=policy, interpret=interpret)
+                y = _conv_q_static(
+                    z, blk["conv3"], site.get("conv3"), stride=1, relu=True,
+                    residual=short, policy=policy, interpret=interpret,
+                )
+            else:
+                z = _conv_q(y, blk["conv1"], stride=s, relu=True, policy=policy, interpret=interpret)
+                y = _conv_q(
+                    z, blk["conv2"], stride=1, relu=True, residual=short,
+                    policy=policy, interpret=interpret,
+                )
+
+    feats = jnp.mean(y.astype(jnp.float32), axis=(1, 2))
+    fc = qfolded["fc"]
+    fq = quantize_with_scale(feats, act_scales["fc"])
+    logits = int8_matmul(
+        fq, fc["w_q"], act_scales["fc"], fc["scale_w"], fc["bias"],
+        out_dtype=policy.output, interpret=interpret,
+    )
+    return logits

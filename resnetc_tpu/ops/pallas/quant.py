@@ -219,3 +219,9 @@ def quantize_folded(folded) -> dict:
         return node
 
     return walk(folded)
+
+
+def quantize_with_scale(x: jax.Array, scale: jax.Array) -> jax.Array:
+    """Static-scale symmetric int8 quantization (no absmax reduction)."""
+    q = jnp.clip(jnp.round(x.astype(jnp.float32) / scale), -127, 127)
+    return q.astype(jnp.int8)

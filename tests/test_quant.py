@@ -98,3 +98,30 @@ def test_int8_forward_argmax_agrees_with_fp(rng):
         np.abs(np.asarray(ref)).mean() + 1e-9
     )
     assert rel < 0.15, rel
+
+
+def test_static_calibrated_int8_matches_dynamic(rng):
+    """Calibrated static scales must track the dynamic path closely and keep
+    argmax (calibration batch == serving batch -> scales near-identical)."""
+    from resnetc_tpu.ops.pallas.fused import (
+        calibrate_activation_scales,
+        fused_forward_int8_static,
+    )
+
+    cfg = resnet.get_config("resnet50", num_classes=10)
+    variables = resnet.init(cfg, jax.random.key(3))
+    folded = resnet.fold_inference_params(cfg, variables)
+    q = quant.quantize_folded(folded)
+    x = jnp.asarray(rng.standard_normal((2, 32, 32, 3), dtype=np.float32))
+
+    scales = calibrate_activation_scales(cfg, folded, x, policy=FP32)
+    assert float(scales["fc"]) > 0
+    assert "conv1" in scales["layer1"]["0"]
+
+    ref = resnet.forward_folded(cfg, folded, x, policy=FP32)
+    got = fused_forward_int8_static(cfg, q, scales, x, policy=FP32, interpret=True)
+    assert np.asarray(got).argmax(-1).tolist() == np.asarray(ref).argmax(-1).tolist()
+    rel = np.abs(np.asarray(got) - np.asarray(ref)).mean() / (
+        np.abs(np.asarray(ref)).mean() + 1e-9
+    )
+    assert rel < 0.2, rel

@@ -218,3 +218,29 @@ def test_cosine_schedule():
     np.testing.assert_allclose(float(sched(10)), 1.0, rtol=1e-6)
     np.testing.assert_allclose(float(sched(100)), 0.1, rtol=1e-5)
     assert float(sched(55)) < 1.0
+
+
+def test_remat_matches_no_remat():
+    """Block rematerialisation must not change gradients (only memory).
+
+    Norm-relative comparison at batch 16: tiny compiler-reassociation diffs
+    (~1e-6/block) get chaotically amplified by train-mode BN statistics at
+    very small batch sizes, so elementwise comparison at batch 2 is
+    meaningless while a wiring bug would still blow the 1e-4 gate here."""
+    cfg = resnet.get_config("resnet18", num_classes=6)
+    variables = resnet.init(cfg, jax.random.key(8))
+    params, bn_state = resnet.split_params_state(variables)
+    x = jax.random.normal(jax.random.key(9), (16, 24, 24, 3))
+    y = (jnp.arange(16) % 6).astype(jnp.int32)
+
+    def grads(remat):
+        return jax.grad(
+            lambda p: train.loss_fn(
+                cfg, p, bn_state, x, y, policy=FP32, remat=remat
+            )[0]
+        )(params)
+
+    g0, g1 = grads(False), grads(True)
+    num = sum(float(jnp.sum((a - b) ** 2)) for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)))
+    den = sum(float(jnp.sum(a**2)) for a in jax.tree.leaves(g0))
+    assert (num / max(den, 1e-12)) ** 0.5 < 1e-4
