@@ -10,15 +10,15 @@ lax_ops.fold_bn_into_conv), with:
 - a **single-image engine** for p50/p99 latency, fed by the host ingest
   pipeline (resnetc_tpu.data).
 
-``block_until_ready`` appears only at benchmark boundaries — XLA's async
-dispatch does the overlapping the reference's sync-per-op design forbids
-(SURVEY.md §2 "Multi-stream / async overlap").
+Dispatch is fully async (the reference instead syncs after every kernel,
+SURVEY.md §2 "Multi-stream / async overlap"); benchmarks force completion
+through the chained-loop + host-fetch harness in utils.timing, because on
+this runtime ``block_until_ready`` does not await device execution.
 """
 
 from __future__ import annotations
 
 import dataclasses
-import time
 from typing import Any, Callable, Sequence
 
 import jax

@@ -84,7 +84,7 @@ def test_forward_train_updates_all_bn_stats():
     assert set(flatten_tree(new_state)) == set(flatten_tree(old_state))
 
 
-@pytest.mark.parametrize("name", ["resnet18", "resnet50"])
+@pytest.mark.parametrize("name", ["resnet18", "resnet34", "resnet50", "resnet101"])
 def test_logit_parity_vs_torch_twin(name):
     """fp32 end-to-end parity on random weights + random input."""
     cfg = resnet.get_config(name)

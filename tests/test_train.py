@@ -1,8 +1,6 @@
 """Training-step tests: grad-check vs PyTorch autograd, SGD trajectory parity,
 loss/metrics sanity (BASELINE.json config #4)."""
 
-import dataclasses
-
 import jax
 import jax.numpy as jnp
 import numpy as np
