@@ -209,3 +209,30 @@ def load_train_state(directory: str | os.PathLike, like: Pytree) -> Pytree:
     path = Path(directory).absolute()
     with ocp.StandardCheckpointer() as ckptr:
         return ckptr.restore(path, like)
+
+
+def variables_from_torch_file(path: str | os.PathLike) -> Pytree:
+    """Load a PyTorch checkpoint file (.pth/.pt) into a variables tree.
+
+    Accepts a raw ``state_dict`` or a dict wrapping one under 'state_dict'/
+    'model' (the common torchvision / training-loop layouts) — so a
+    downloaded torchvision ``resnet152-*.pth`` imports directly, without
+    torchvision installed.
+    """
+    import torch
+
+    obj = torch.load(str(path), map_location="cpu", weights_only=True)
+    if isinstance(obj, dict) and not any(hasattr(v, "detach") for v in obj.values()):
+        for key in ("state_dict", "model"):
+            if key in obj:
+                obj = obj[key]
+                break
+    if not isinstance(obj, dict) or not all(
+        hasattr(v, "detach") for v in obj.values()
+    ):
+        raise ValueError(
+            f"{path}: no tensor state_dict found (top-level keys: "
+            f"{sorted(obj)[:8] if isinstance(obj, dict) else type(obj).__name__}); "
+            "expected a state_dict or a dict with a 'state_dict'/'model' entry"
+        )
+    return variables_from_torch_state_dict(obj)

@@ -207,8 +207,16 @@ def classify_files(
     """End-to-end: decode -> preprocess -> device -> argmax, one call.
 
     The whole-pipeline equivalent of running convert_imgs_to_bin.py followed
-    by the reference binary."""
-    from resnetc_tpu.data.preprocess import preprocess_file
+    by the reference binary.  ``.bin`` files are read as the reference's
+    preprocessed input format (flat NCHW f32, main.cu:236-237); everything
+    else is decoded + preprocessed as an image."""
+    from resnetc_tpu.data.preprocess import load_input_bin, preprocess_file
 
-    batch = np.concatenate([preprocess_file(p, crop=image_size) for p in paths])
+    arrays = []
+    for p in paths:
+        if str(p).endswith(".bin"):
+            arrays.append(load_input_bin(p, height=image_size, width=image_size))
+        else:
+            arrays.append(preprocess_file(p, crop=image_size))
+    batch = np.concatenate(arrays)
     return list(engine.classify(jnp.asarray(batch)))

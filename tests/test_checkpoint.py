@@ -94,3 +94,24 @@ def test_orbax_train_state_roundtrip(tmp_path):
     restored = checkpoint.load_train_state(tmp_path / "ckpt", like)
     np.testing.assert_array_equal(restored["params"]["w"], state["params"]["w"])
     assert int(restored["step"]) == 7
+
+
+def test_variables_from_torch_file(tmp_path):
+    """A torch-saved checkpoint (raw state_dict and wrapped) must import."""
+    import torch
+
+    from resnetc_tpu.checkpoint import variables_from_torch_file
+
+    cfg = resnet.get_config("resnet18", num_classes=5)
+    twin = build_twin(cfg, seed=4)
+    raw = tmp_path / "raw.pth"
+    torch.save(twin.state_dict(), raw)
+    wrapped = tmp_path / "wrapped.pth"
+    torch.save({"epoch": 3, "state_dict": twin.state_dict()}, wrapped)
+
+    for path in (raw, wrapped):
+        variables = variables_from_torch_file(path)
+        np.testing.assert_array_equal(
+            np.asarray(variables["conv1"]["weight"]),
+            twin.conv1.weight.detach().numpy().transpose(2, 3, 1, 0),
+        )
