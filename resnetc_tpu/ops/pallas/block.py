@@ -108,8 +108,10 @@ def _block_kernel(
     y = jnp.maximum(y, 0.0).astype(o_ref.dtype)
     for bi in range(bt):
         img = jax.lax.slice_in_dim(y, bi * hp * wp, bi * hp * wp + h * wp, axis=0)
-        img = img.reshape(h, wp, c4)[:, :w_out, :]
-        o_ref[bi] = img
+        # Store the full padded width; the caller strips the pad columns
+        # with an XLA slice (cheap, fuses into the consumer) instead of a
+        # per-store sublane relayout here.
+        o_ref[bi] = img.reshape(h, wp, c4)
 
 
 @functools.partial(jax.jit, static_argnames=("bt", "interpret"))
@@ -181,8 +183,8 @@ def bottleneck_block_fused(
             pl.BlockSpec((1, c4), lambda i: (0, 0)),
             pl.BlockSpec((hp * wp, 1), lambda i: (0, 0)),
         ],
-        out_specs=pl.BlockSpec((bt, h, w_sp, c4), lambda i: (i, 0, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((b, h, w_sp, c4), x.dtype),
+        out_specs=pl.BlockSpec((bt, h, wp, c4), lambda i: (i, 0, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, h, wp, c4), x.dtype),
         scratch_shapes=[
             pltpu.VMEM((bt * hp * wp, 3 * c), x.dtype),  # kw-interleaved z1
             pltpu.VMEM((m_acc, c), jnp.float32),         # 3x3 accumulator
@@ -200,4 +202,4 @@ def bottleneck_block_fused(
     )(
         x_rows, w1, b1[None, :], w2, b2[None, :], w3, b3[None, :], mask,
     )
-    return out
+    return out[:, :, :w_sp, :]
