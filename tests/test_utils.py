@@ -65,3 +65,26 @@ def test_global_batch_slice_single_process():
     assert not is_multiprocess()
     start, size = global_batch_slice(64)
     assert (start, size) == (0, 64)
+
+
+def test_profile_trace_writes_trace(tmp_path):
+    """jax.profiler integration produces a trace directory (XProf/TensorBoard
+    viewable) — the SURVEY §5 tracing subsystem."""
+    import jax.numpy as jnp
+
+    from resnetc_tpu.utils.metrics import annotate, profile_trace
+
+    logdir = tmp_path / "trace"
+    with profile_trace(str(logdir)):
+        with annotate("test-region"):
+            jnp.square(jnp.arange(128.0)).block_until_ready()
+    produced = list(logdir.rglob("*"))
+    assert produced, "no trace files written"
+
+
+def test_profile_trace_disabled_is_noop(tmp_path):
+    from resnetc_tpu.utils.metrics import profile_trace
+
+    with profile_trace(str(tmp_path / "x"), enabled=False):
+        pass
+    assert not (tmp_path / "x").exists()
