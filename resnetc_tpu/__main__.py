@@ -249,14 +249,21 @@ def cmd_verify(args) -> int:
         (args.verify_batch, 3, run.image_size, run.image_size)
     ).astype(np.float32)
     rep = logit_report(cfg, twin, x, policy=get_policy(run.policy))
-    print(json.dumps({
+    result = {
         "model": run.model,
         "policy": run.policy,
         "logit_mae": rep.mae,
         "max_abs_err": rep.max_abs_err,
         "argmax_match_rate": rep.argmax_match_rate,
         "pass": bool(rep.argmax_match and (run.policy != "fp32" or rep.mae <= 1e-3)),
-    }))
+    }
+    if args.per_stage:
+        from resnetc_tpu.verify import stage_parity_report
+
+        result["stages"] = stage_parity_report(
+            cfg, twin, x, policy=get_policy(run.policy)
+        )
+    print(json.dumps(result))
     return 0 if rep.argmax_match else 1
 
 
@@ -317,6 +324,10 @@ def main(argv: list[str] | None = None) -> int:
     p = sub.add_parser("verify", help="numeric parity vs the torch twin")
     add_run_args(p)
     p.add_argument("--verify-batch", type=int, default=2)
+    p.add_argument(
+        "--per-stage", action="store_true",
+        help="also report per-stage activation MAE (the check_out workflow)",
+    )
     p.set_defaults(fn=cmd_verify)
 
     args = parser.parse_args(argv)

@@ -9,4 +9,8 @@ torch is only imported here (CPU, verification-time) — never on the TPU
 compute path.
 """
 
-from resnetc_tpu.verify.harness import compare_logits, logit_report  # noqa: F401
+from resnetc_tpu.verify.harness import (  # noqa: F401
+    compare_logits,
+    logit_report,
+    stage_parity_report,
+)

@@ -121,3 +121,17 @@ def test_nchw_nhwc_shims():
         jax.numpy.transpose(nchw_to_nhwc(jnp.asarray(x)), (0, 3, 1, 2))
     )
     np.testing.assert_array_equal(back, x)
+
+
+def test_stage_parity_report():
+    """Per-stage taps vs torch must all sit at fp32-noise level (the
+    automated check_out workflow, pytorch_inference.py:8-11)."""
+    from resnetc_tpu.verify import stage_parity_report
+
+    cfg = resnet.get_config("resnet18", num_classes=10)
+    twin = build_twin(cfg, seed=6)
+    x = np.random.default_rng(11).standard_normal((1, 3, 32, 32), dtype=np.float32)
+    report = stage_parity_report(cfg, twin, x)
+    assert set(report) == {"stem", "layer1", "layer2", "layer3", "layer4", "logits"}
+    for stage, stats in report.items():
+        assert stats["mae"] < 1e-4, (stage, stats)
