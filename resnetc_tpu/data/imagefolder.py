@@ -159,10 +159,27 @@ class ImageFolderLoader:
         errbox: list[BaseException] = []
 
         def decode_one(i: int, path: str) -> np.ndarray:
-            if self.train:
-                rng = np.random.default_rng((self.seed, i))
-                return _train_transform(path, rng, self.image_size)
-            return _eval_transform(path, self.image_size)
+            rng = np.random.default_rng((self.seed, i))
+            return _train_transform(path, rng, self.image_size)
+
+        def eval_batch(paths: list[str]) -> np.ndarray:
+            # Eval transform is deterministic -> batch through the native
+            # threaded ingest (PIL fallback inside).
+            from resnetc_tpu.data.preprocess import (
+                DEFAULT_CROP,
+                DEFAULT_RESIZE,
+                preprocess_files_batch,
+            )
+
+            resize = (
+                DEFAULT_RESIZE
+                if self.image_size == DEFAULT_CROP
+                else int(self.image_size * DEFAULT_RESIZE / DEFAULT_CROP)
+            )
+            return preprocess_files_batch(
+                paths, resize=resize, crop=self.image_size,
+                num_threads=self.decode_workers,
+            )
 
         def producer():
             try:
@@ -179,15 +196,18 @@ class ImageFolderLoader:
                                 [self.samples[i][1] for i in batch_idx], np.int32
                             )
                             uniq = counter * self.batch_size
-                            imgs = list(
-                                pool.map(
-                                    decode_one,
-                                    range(uniq, uniq + self.batch_size),
-                                    paths,
+                            if self.train:
+                                imgs = list(
+                                    pool.map(
+                                        decode_one,
+                                        range(uniq, uniq + self.batch_size),
+                                        paths,
+                                    )
                                 )
-                            )
+                                batch = np.stack(imgs)
+                            else:
+                                batch = eval_batch(paths)
                             counter += 1
-                            batch = np.stack(imgs)
                             q.put(
                                 (
                                     jax.device_put(batch, self.sharding),

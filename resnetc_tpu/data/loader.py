@@ -72,26 +72,20 @@ class BatchLoader:
         self.decode_workers = max(1, decode_workers)
 
     def _decoded(self) -> Iterator[np.ndarray]:
-        """Stream of single preprocessed images, decoded by a thread pool,
-        order-preserving."""
-        from concurrent.futures import ThreadPoolExecutor
+        """Stream of single preprocessed images, decoded batch-at-a-time via
+        the native threaded ingest (PIL fallback), order-preserving."""
+        from resnetc_tpu.data.preprocess import preprocess_files_batch
 
         total = self.steps * self.batch_size
-
-        def path_at(i: int) -> str:
-            return self.paths[i % len(self.paths)]
-
-        with ThreadPoolExecutor(self.decode_workers) as pool:
-            window = 2 * self.decode_workers
-            futures = {
-                i: pool.submit(preprocess_file, path_at(i), crop=self.image_size)
-                for i in range(min(window, total))
-            }
-            for i in range(total):
-                nxt = i + window
-                if nxt < total:
-                    futures[nxt] = pool.submit(preprocess_file, path_at(nxt), crop=self.image_size)
-                yield futures.pop(i).result()[0]
+        for start in range(0, total, self.batch_size):
+            n = min(self.batch_size, total - start)
+            chunk = [
+                self.paths[(start + j) % len(self.paths)] for j in range(n)
+            ]
+            batch = preprocess_files_batch(
+                chunk, crop=self.image_size, num_threads=self.decode_workers
+            )
+            yield from batch
 
     def __iter__(self) -> Iterator[jax.Array]:
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)

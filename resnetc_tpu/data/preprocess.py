@@ -71,9 +71,40 @@ def preprocess_image(
 
 
 def preprocess_file(path: str | os.PathLike, **kwargs) -> np.ndarray:
-    """JPEG/PNG file -> preprocessed batch-of-1 array."""
+    """JPEG/PNG file -> preprocessed batch-of-1 array (PIL path)."""
     with Image.open(path) as img:
         return preprocess_image(img, **kwargs)
+
+
+def preprocess_files_batch(
+    paths: list[str],
+    *,
+    resize: int = DEFAULT_RESIZE,
+    crop: int = DEFAULT_CROP,
+    num_threads: int = 4,
+) -> np.ndarray:
+    """Batch decode+preprocess -> (N, crop, crop, 3) float32 NHWC.
+
+    Uses the native C++ ingest (libjpeg + threaded, 1.6x PIL per core) when
+    built and all inputs are JPEGs; falls back to PIL per file otherwise.
+    Both paths agree to within one uint8 level (tests/test_native.py).
+    """
+    jpeg_only = all(str(p).lower().endswith((".jpg", ".jpeg")) for p in paths)
+    if jpeg_only:
+        try:
+            from resnetc_tpu import native
+
+            if native.available():
+                return native.preprocess_files(
+                    [str(p) for p in paths], resize=resize, crop=crop,
+                    mean=IMAGENET_MEAN, std=IMAGENET_STD,
+                    num_threads=num_threads,
+                )
+        except (ValueError, RuntimeError):
+            pass  # corrupt file or lib failure: PIL gives the real error
+    return np.concatenate(
+        [preprocess_file(p, resize=resize, crop=crop) for p in paths]
+    )
 
 
 def save_input_bin(x: np.ndarray, path: str | os.PathLike) -> None:
