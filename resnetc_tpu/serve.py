@@ -31,21 +31,6 @@ from resnetc_tpu.tensor import BF16, DtypePolicy
 Pytree = Any
 
 
-@dataclasses.dataclass(frozen=True)
-class ServeConfig:
-    model: str = "resnet50"
-    batch_size: int = 256
-    image_size: int = 224
-    policy_name: str = "bf16"
-    num_classes: int = 1000
-
-    @property
-    def policy(self) -> DtypePolicy:
-        from resnetc_tpu.tensor import policy
-
-        return policy(self.policy_name)
-
-
 class InferenceEngine:
     """A compiled classifier: folded weights resident on device, one jitted
     XLA program per input shape."""
