@@ -23,7 +23,11 @@ Every kernel is golden-tested against its lax oracle
 """
 
 from resnetc_tpu.ops.pallas.gemm import matmul  # noqa: F401
-from resnetc_tpu.ops.pallas.conv import conv3x3_s1_fused, conv1x1_fused  # noqa: F401
+from resnetc_tpu.ops.pallas.conv import (  # noqa: F401
+    conv1x1_fused,
+    conv3x3_s1_fused,
+    conv3x3_s2_fused,
+)
 from resnetc_tpu.ops.pallas.pool import avg_pool2d, max_pool2d  # noqa: F401
 from resnetc_tpu.ops.pallas.elementwise import add, add_relu, relu  # noqa: F401
 from resnetc_tpu.ops.pallas.block import bottleneck_block_fused  # noqa: F401

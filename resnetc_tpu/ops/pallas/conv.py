@@ -227,3 +227,133 @@ def conv3x3_s1_fused(
     if coutp != cout:
         out = out[..., :cout]
     return out
+
+
+def _conv3x3_s2_kernel(p_ref, w_ref, b_ref, o_ref, acc_ref, *,
+                       bt, hq, wq, oh, ow, m_acc, relu):
+    """Stride-2 3x3 via phase planes: tap (u, v) reads plane (u%2, v%2) at
+    the stride-1 offset (u//2)*wq + (v//2) — same shifted-slice implicit
+    GEMM as the stride-1 kernel, fanned over four planes."""
+    tn = w_ref.shape[-1]
+    first = True
+    for u in range(3):
+        for v in range(3):
+            phase = (u % 2) * 2 + (v % 2)
+            off = (u // 2) * wq + (v // 2)
+            lhs = p_ref[phase, off : off + m_acc, :]
+            contrib = jnp.dot(lhs, w_ref[u, v], preferred_element_type=jnp.float32)
+            if first:
+                acc_ref[:] = contrib
+                first = False
+            else:
+                acc_ref[:] += contrib
+    bias = b_ref[:].astype(jnp.float32) if b_ref is not None else None
+    for bi in range(bt):
+        img = acc_ref[bi * hq * wq : bi * hq * wq + oh * wq, :]
+        img = img.reshape(oh, wq, tn)[:, :ow, :]
+        if bias is not None:
+            img = img + bias
+        if relu:
+            img = jnp.maximum(img, 0.0)
+        o_ref[bi] = img.astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("relu", "out_dtype", "tn", "bt", "interpret")
+)
+def conv3x3_s2_fused(
+    x: jax.Array,
+    w: jax.Array,
+    bias: jax.Array | None = None,
+    *,
+    relu: bool = False,
+    out_dtype: jnp.dtype | None = None,
+    tn: int | None = None,
+    bt: int | None = None,
+    interpret: bool = False,
+) -> jax.Array:
+    """Fused 3x3 stride-2 pad-1 conv: ``relu(conv(x, w) + bias)``.
+
+    Covers ResNet's three stage-transition 3x3 convs (the last XLA conv
+    fallbacks besides the stem).  out(r, c) sums x_pad[2r+u, 2c+v] @ W[u, v];
+    splitting x_pad into its 2x2 interleaved phase planes turns every tap
+    into a stride-1 slice (Mosaic has no strided vector access), reusing the
+    implicit-GEMM row layout of the stride-1 kernel per plane.
+    """
+    b, h, w_sp, cin = x.shape
+    assert w.shape[:3] == (3, 3, cin), (w.shape, x.shape)
+    cout = w.shape[-1]
+    out_dtype = out_dtype or x.dtype
+    tn = tn or min(256, _round_up(cout, 128))
+
+    oh = (h + 2 - 3) // 2 + 1
+    ow = (w_sp + 2 - 3) // 2 + 1
+
+    coutp = _round_up(cout, tn)
+    if coutp != cout:
+        w = jnp.pad(w, ((0, 0), (0, 0), (0, 0), (0, coutp - cout)))
+        if bias is not None:
+            bias = jnp.pad(bias, (0, coutp - cout))
+
+    # Plane geometry: planes need >= ow + 1 columns and enough rows for the
+    # furthest shift; wq is rounded to 8 sublanes for aligned u-shifts.
+    wq = _round_up(ow + 1, 8)
+    bt = bt or _pick_batch_tile(b, (oh + 1) * wq, 4 * cin, tn)
+    extra = 0
+    while True:
+        hq = oh + 1 + extra
+        m_acc = _round_up((bt - 1) * hq * wq + oh * wq, 128)
+        if m_acc + wq + 1 <= bt * hq * wq:
+            break
+        extra += 1
+
+    # Pad x so every phase plane is exactly (hq, wq): plane (ph, pw) reads
+    # x_pad rows 2i+ph (i < hq) and cols 2j+pw (j < wq).
+    x_pad = jnp.pad(
+        x, ((0, 0), (1, 2 * hq - 1 - h), (1, 2 * wq - 1 - w_sp), (0, 0))
+    )
+    planes = jnp.stack(
+        [x_pad[:, ph::2, pw::2, :] for ph in range(2) for pw in range(2)]
+    )  # (4, B, hq, wq, cin)
+    planes = planes.reshape(4, b * hq * wq, cin)
+
+    grid = (b // bt, coutp // tn)
+    in_specs = [
+        pl.BlockSpec((4, bt * hq * wq, cin), lambda i, j: (0, i, 0)),
+        pl.BlockSpec((3, 3, cin, tn), lambda i, j: (0, 0, 0, j)),
+    ]
+    operands = [planes, w]
+    if bias is not None:
+        in_specs.append(pl.BlockSpec((1, tn), lambda i, j: (0, j)))
+        operands.append(bias[None, :])
+
+    def kernel(*refs):
+        b_ref = refs[2] if bias is not None else None
+        o_ref = refs[2 + (bias is not None)]
+        acc_ref = refs[3 + (bias is not None)]
+        _conv3x3_s2_kernel(
+            refs[0], refs[1], b_ref, o_ref, acc_ref,
+            bt=bt, hq=hq, wq=wq, oh=oh, ow=ow, m_acc=m_acc, relu=relu,
+        )
+
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((bt, oh, ow, tn), lambda i, j: (i, 0, 0, j)),
+        out_shape=jax.ShapeDtypeStruct((b, oh, ow, coutp), out_dtype),
+        scratch_shapes=[pltpu.VMEM((m_acc, tn), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * oh * ow * 9 * cin * coutp,
+            bytes_accessed=(4 * b * hq * wq * cin + 9 * cin * coutp + b * oh * ow * coutp) * 2,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(*operands)
+
+    if coutp != cout:
+        out = out[..., :cout]
+    return out

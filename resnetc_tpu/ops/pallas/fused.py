@@ -7,9 +7,8 @@ runs as ONE fused MXU kernel —
 - 1x1 convs (incl. strided downsamples) -> gemm.matmul via conv1x1_fused,
   with the residual add and ReLU in the epilogue;
 - 3x3 stride-1 convs -> conv3x3_s1_fused (nine-shift implicit GEMM);
-- 3x3 stride-2 convs (three per net) and the 7x7 stem -> XLA conv (+fused
-  elementwise epilogue, which XLA folds in) — ~3-8% of FLOPs, shapes where
-  a hand kernel has no edge;
+- 3x3 stride-2 convs -> conv3x3_s2_fused (phase-plane implicit GEMM);
+- the 7x7 stem -> XLA conv (~3% of FLOPs, the one remaining fallback);
 - max pool -> pool.max_pool2d; global avg pool + fc -> one matmul epilogue.
 
 Consumes the same BN-folded tree as forward_folded, so the parity tests can
@@ -23,7 +22,7 @@ import jax.numpy as jnp
 
 from resnetc_tpu.models.resnet import ResNetConfig
 from resnetc_tpu.ops import lax_ops
-from resnetc_tpu.ops.pallas.conv import conv1x1_fused, conv3x3_s1_fused
+from resnetc_tpu.ops.pallas.conv import conv1x1_fused, conv3x3_s1_fused, conv3x3_s2_fused
 from resnetc_tpu.ops.pallas.gemm import matmul
 from resnetc_tpu.ops.pallas.pool import max_pool2d
 from resnetc_tpu.tensor import BF16, DtypePolicy
@@ -51,7 +50,9 @@ def _conv(x, entry, *, stride, relu, residual=None, policy, interpret):
         return conv3x3_s1_fused(
             x, w, bias, residual, relu=relu, interpret=interpret
         )
-    # Stem 7x7/2 and the three stride-2 3x3 convs.
+    if (kh, kw_) == (3, 3) and stride == 2 and residual is None:
+        return conv3x3_s2_fused(x, w, bias, relu=relu, interpret=interpret)
+    # Stem 7x7/2 (the only remaining XLA conv on the fused path).
     y = _xla_conv(
         x, entry, k=kh, stride=stride, padding=kh // 2, relu=False, policy=policy
     )

@@ -162,3 +162,19 @@ def test_fused_forward_block_fusion_matches(rng):
     a = fused_forward(cfg, folded, x, policy=FP32, interpret=True)
     b = fused_forward(cfg, folded, x, policy=FP32, block_fusion=True, interpret=True)
     np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=1e-3, atol=1e-3)
+
+
+@pytest.mark.parametrize(
+    "b,h,cin,cout", [(2, 8, 16, 32), (1, 14, 8, 24), (3, 10, 32, 64), (2, 7, 8, 8)]
+)
+def test_conv3x3_s2_fused_matches_oracle(rng, b, h, cin, cout):
+    from resnetc_tpu.ops.pallas.conv import conv3x3_s2_fused
+
+    x = jnp.asarray(rng.standard_normal((b, h, h, cin), dtype=np.float32))
+    wt = jnp.asarray(rng.standard_normal((3, 3, cin, cout), dtype=np.float32) * 0.1)
+    bias = jnp.asarray(rng.standard_normal((cout,), dtype=np.float32))
+    ref = np.maximum(
+        np.asarray(lax_ops.conv2d(x, wt, stride=2, padding=1)) + np.asarray(bias), 0
+    )
+    got = conv3x3_s2_fused(x, wt, bias, relu=True, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), ref, rtol=1e-4, atol=1e-4)
