@@ -229,15 +229,15 @@ def conv3x3_s1_fused(
     return out
 
 
-def _conv3x3_s2_kernel(p_ref, w_ref, b_ref, o_ref, acc_ref, *,
-                       bt, hq, wq, oh, ow, m_acc, relu):
-    """Stride-2 3x3 via phase planes: tap (u, v) reads plane (u%2, v%2) at
-    the stride-1 offset (u//2)*wq + (v//2) — same shifted-slice implicit
-    GEMM as the stride-1 kernel, fanned over four planes."""
+def _conv_s2_kernel(p_ref, w_ref, b_ref, o_ref, acc_ref, *,
+                    k, bt, hq, wq, oh, ow, m_acc, relu):
+    """Stride-2 odd-k conv via phase planes: tap (u, v) reads plane
+    (u%2, v%2) at the stride-1 offset (u//2)*wq + (v//2) — the shifted-slice
+    implicit GEMM fanned over four planes (k*k taps)."""
     tn = w_ref.shape[-1]
     first = True
-    for u in range(3):
-        for v in range(3):
+    for u in range(k):
+        for v in range(k):
             phase = (u % 2) * 2 + (v % 2)
             off = (u // 2) * wq + (v // 2)
             lhs = p_ref[phase, off : off + m_acc, :]
@@ -261,7 +261,7 @@ def _conv3x3_s2_kernel(p_ref, w_ref, b_ref, o_ref, acc_ref, *,
 @functools.partial(
     jax.jit, static_argnames=("relu", "out_dtype", "tn", "bt", "interpret")
 )
-def conv3x3_s2_fused(
+def conv_s2_fused(
     x: jax.Array,
     w: jax.Array,
     bias: jax.Array | None = None,
@@ -272,22 +272,32 @@ def conv3x3_s2_fused(
     bt: int | None = None,
     interpret: bool = False,
 ) -> jax.Array:
-    """Fused 3x3 stride-2 pad-1 conv: ``relu(conv(x, w) + bias)``.
+    """Fused odd-k stride-2 pad-k//2 conv: ``relu(conv(x, w) + bias)``.
 
-    Covers ResNet's three stage-transition 3x3 convs (the last XLA conv
-    fallbacks besides the stem).  out(r, c) sums x_pad[2r+u, 2c+v] @ W[u, v];
-    splitting x_pad into its 2x2 interleaved phase planes turns every tap
-    into a stride-1 slice (Mosaic has no strided vector access), reusing the
+    Covers ResNet's stage-transition 3x3 convs (k=5/7 also verified against
+    the oracle).  out(r, c) sums x_pad[2r+u, 2c+v] @ W[u, v]; splitting
+    x_pad into its 2x2 interleaved phase planes turns every tap into a
+    stride-1 slice (Mosaic has no strided vector access), reusing the
     implicit-GEMM row layout of the stride-1 kernel per plane.
+
+    The 7x7 RGB stem stays on XLA: with cin=3 every tap temporary gets
+    lane-padded 3 -> 128 in vregs, blowing VMEM ~40x (measured 33MB at
+    224x224x3) — an image-layout special case XLA's conv emitter handles
+    natively and that is ~3% of network FLOPs.
     """
     b, h, w_sp, cin = x.shape
-    assert w.shape[:3] == (3, 3, cin), (w.shape, x.shape)
+    k = w.shape[0]
+    assert w.shape[:3] == (k, k, cin) and k % 2 == 1, (w.shape, x.shape)
     cout = w.shape[-1]
     out_dtype = out_dtype or x.dtype
-    tn = tn or min(256, _round_up(cout, 128))
+    # Lane dim may be < 128 only when it equals the full array dim — so for
+    # narrow couts (the 64-wide stem) use cout itself instead of padding to
+    # 128 and doubling the VMEM footprint.
+    tn = tn or (cout if cout < 128 else min(256, _round_up(cout, 128)))
+    pad = k // 2
 
-    oh = (h + 2 - 3) // 2 + 1
-    ow = (w_sp + 2 - 3) // 2 + 1
+    oh = (h + 2 * pad - k) // 2 + 1
+    ow = (w_sp + 2 * pad - k) // 2 + 1
 
     coutp = _round_up(cout, tn)
     if coutp != cout:
@@ -295,22 +305,25 @@ def conv3x3_s2_fused(
         if bias is not None:
             bias = jnp.pad(bias, (0, coutp - cout))
 
-    # Plane geometry: planes need >= ow + 1 columns and enough rows for the
-    # furthest shift; wq is rounded to 8 sublanes for aligned u-shifts.
-    wq = _round_up(ow + 1, 8)
-    bt = bt or _pick_batch_tile(b, (oh + 1) * wq, 4 * cin, tn)
+    # Plane geometry: planes need >= ow + ceil(pad/2) columns and enough
+    # rows for the furthest shift; wq rounded to 8 sublanes so the u-shifts
+    # (multiples of wq) stay aligned.
+    max_off = (k - 1) // 2  # largest u//2 (and v//2) plane offset
+    wq = _round_up(ow + max_off, 8)
+    bt = bt or _pick_batch_tile(b, (oh + max_off) * wq, 4 * cin, tn)
     extra = 0
     while True:
-        hq = oh + 1 + extra
+        hq = oh + max_off + extra
         m_acc = _round_up((bt - 1) * hq * wq + oh * wq, 128)
-        if m_acc + wq + 1 <= bt * hq * wq:
+        if m_acc + max_off * wq + max_off <= bt * hq * wq:
             break
         extra += 1
 
     # Pad x so every phase plane is exactly (hq, wq): plane (ph, pw) reads
     # x_pad rows 2i+ph (i < hq) and cols 2j+pw (j < wq).
     x_pad = jnp.pad(
-        x, ((0, 0), (1, 2 * hq - 1 - h), (1, 2 * wq - 1 - w_sp), (0, 0))
+        x,
+        ((0, 0), (pad, 2 * hq - 1 - h - (pad - 1)), (pad, 2 * wq - 1 - w_sp - (pad - 1)), (0, 0)),
     )
     planes = jnp.stack(
         [x_pad[:, ph::2, pw::2, :] for ph in range(2) for pw in range(2)]
@@ -320,7 +333,7 @@ def conv3x3_s2_fused(
     grid = (b // bt, coutp // tn)
     in_specs = [
         pl.BlockSpec((4, bt * hq * wq, cin), lambda i, j: (0, i, 0)),
-        pl.BlockSpec((3, 3, cin, tn), lambda i, j: (0, 0, 0, j)),
+        pl.BlockSpec((k, k, cin, tn), lambda i, j: (0, 0, 0, j)),
     ]
     operands = [planes, w]
     if bias is not None:
@@ -331,9 +344,9 @@ def conv3x3_s2_fused(
         b_ref = refs[2] if bias is not None else None
         o_ref = refs[2 + (bias is not None)]
         acc_ref = refs[3 + (bias is not None)]
-        _conv3x3_s2_kernel(
+        _conv_s2_kernel(
             refs[0], refs[1], b_ref, o_ref, acc_ref,
-            bt=bt, hq=hq, wq=wq, oh=oh, ow=ow, m_acc=m_acc, relu=relu,
+            k=k, bt=bt, hq=hq, wq=wq, oh=oh, ow=ow, m_acc=m_acc, relu=relu,
         )
 
     out = pl.pallas_call(
@@ -347,8 +360,8 @@ def conv3x3_s2_fused(
             dimension_semantics=("parallel", "parallel"),
         ),
         cost_estimate=pl.CostEstimate(
-            flops=2 * b * oh * ow * 9 * cin * coutp,
-            bytes_accessed=(4 * b * hq * wq * cin + 9 * cin * coutp + b * oh * ow * coutp) * 2,
+            flops=2 * b * oh * ow * k * k * cin * coutp,
+            bytes_accessed=(4 * b * hq * wq * cin + k * k * cin * coutp + b * oh * ow * coutp) * 2,
             transcendentals=0,
         ),
         interpret=interpret,
@@ -357,3 +370,12 @@ def conv3x3_s2_fused(
     if coutp != cout:
         out = out[..., :cout]
     return out
+
+
+def conv3x3_s2_fused(x, w, bias=None, *, relu=False, out_dtype=None, tn=None,
+                     bt=None, interpret=False):
+    """3x3 stride-2 pad-1 conv — thin alias over the generic odd-k kernel."""
+    return conv_s2_fused(
+        x, w, bias, relu=relu, out_dtype=out_dtype, tn=tn, bt=bt,
+        interpret=interpret,
+    )

@@ -178,3 +178,14 @@ def test_conv3x3_s2_fused_matches_oracle(rng, b, h, cin, cout):
     )
     got = conv3x3_s2_fused(x, wt, bias, relu=True, interpret=True)
     np.testing.assert_allclose(np.asarray(got), ref, rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("k", [5, 7])
+def test_conv_s2_fused_generic_odd_k(rng, k):
+    from resnetc_tpu.ops.pallas.conv import conv_s2_fused
+
+    x = jnp.asarray(rng.standard_normal((2, 18, 18, 8), dtype=np.float32))
+    wt = jnp.asarray(rng.standard_normal((k, k, 8, 16), dtype=np.float32) * 0.1)
+    ref = np.asarray(lax_ops.conv2d(x, wt, stride=2, padding=k // 2))
+    got = conv_s2_fused(x, wt, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), ref, rtol=1e-4, atol=1e-4)
