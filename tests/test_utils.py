@@ -88,3 +88,22 @@ def test_profile_trace_disabled_is_noop(tmp_path):
     with profile_trace(str(tmp_path / "x"), enabled=False):
         pass
     assert not (tmp_path / "x").exists()
+
+
+def test_chained_timing_harness():
+    """The measurement harness must return positive marginal seconds and
+    actually execute the step (side-effect-free check via output value)."""
+    import jax.numpy as jnp
+
+    from resnetc_tpu.utils.timing import chained_seconds_per_iter, fetch_seconds
+
+    x = jnp.ones((256, 256), jnp.float32)
+
+    def step(c):
+        return c @ c * 1e-3
+
+    sec = chained_seconds_per_iter(step, x, iters=8)
+    assert sec > 0
+
+    times = fetch_seconds(lambda a: a * 2.0, x, samples=3)
+    assert len(times) == 3 and all(t > 0 for t in times)
