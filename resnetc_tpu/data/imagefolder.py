@@ -157,6 +157,18 @@ class ImageFolderLoader:
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         _SENTINEL = object()
         errbox: list[BaseException] = []
+        stop = threading.Event()  # set when the consumer abandons iteration
+
+        def _put(item) -> bool:
+            """Bounded put that gives up once the consumer is gone (see
+            data/loader.py — same abandoned-iterator thread-leak fix)."""
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def decode_one(i: int, path: str) -> np.ndarray:
             rng = np.random.default_rng((self.seed, i))
@@ -208,27 +220,37 @@ class ImageFolderLoader:
                             else:
                                 batch = eval_batch(paths)
                             counter += 1
-                            q.put(
+                            ok = _put(
                                 (
                                     jax.device_put(batch, self.sharding),
                                     jax.device_put(labels, self.label_sharding),
                                 )
                             )
+                            if not ok:
+                                return
             except BaseException as e:
                 errbox.append(e)
             finally:
-                q.put(_SENTINEL)
+                _put(_SENTINEL)
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
-        while True:
-            item = q.get()
-            if item is _SENTINEL:
-                break
-            yield item
-        t.join()
-        if errbox:
-            raise errbox[0]
+        try:
+            while True:
+                item = q.get()
+                if item is _SENTINEL:
+                    break
+                yield item
+            t.join()
+            if errbox:
+                raise errbox[0]
+        finally:
+            stop.set()
+            while True:  # drain so a producer blocked on put() wakes and exits
+                try:
+                    q.get_nowait()
+                except queue.Empty:
+                    break
 
 
 def evaluate(engine, root: str | Path, *, batch_size: int = 64, image_size: int = DEFAULT_CROP) -> dict[str, float]:

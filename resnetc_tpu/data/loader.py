@@ -91,6 +91,20 @@ class BatchLoader:
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         _SENTINEL = object()
         errbox: list[BaseException] = []
+        stop = threading.Event()  # set when the consumer abandons iteration
+
+        def _put(item) -> bool:
+            """Bounded put that gives up once the consumer is gone — without
+            this, an abandoned iterator (e.g. ``itertools.islice``) leaves the
+            producer blocked on a full queue forever, leaking the thread and
+            pinning prefetched device batches for the process lifetime."""
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def producer():
             try:
@@ -99,26 +113,37 @@ class BatchLoader:
                 )
                 n = 0
                 for img in self._decoded():
+                    if stop.is_set():
+                        return
                     batch[n] = img
                     n += 1
                     if n == self.batch_size:
-                        q.put(jax.device_put(batch.copy(), self.sharding))
+                        if not _put(jax.device_put(batch.copy(), self.sharding)):
+                            return
                         n = 0
             except BaseException as e:  # surfaced to the consumer below
                 errbox.append(e)
             finally:
-                q.put(_SENTINEL)
+                _put(_SENTINEL)
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
-        while True:
-            item = q.get()
-            if item is _SENTINEL:
-                break
-            yield item
-        t.join()
-        if errbox:
-            raise errbox[0]
+        try:
+            while True:
+                item = q.get()
+                if item is _SENTINEL:
+                    break
+                yield item
+            t.join()
+            if errbox:
+                raise errbox[0]
+        finally:
+            stop.set()
+            while True:  # drain so a producer blocked on put() wakes and exits
+                try:
+                    q.get_nowait()
+                except queue.Empty:
+                    break
 
     def __len__(self) -> int:
         return self.steps

@@ -40,7 +40,12 @@ def _load() -> ctypes.CDLL | None:
     global _lib
     if _lib is not None:
         return _lib
-    if not _LIB_PATH.exists() and os.environ.get("RESNETC_NO_NATIVE_BUILD") != "1":
+    # Always invoke make (not only when the .so is missing): it is a no-op
+    # when objects are newer than sources, and it rebuilds a stale .so after
+    # a .cpp edit — otherwise an existing binary would silently win over
+    # edited sources.  Artifacts are .gitignored (built with -march=native,
+    # so a checked-in binary could SIGILL on a different host).
+    if os.environ.get("RESNETC_NO_NATIVE_BUILD") != "1":
         _try_build()
     if not _LIB_PATH.exists():
         return None

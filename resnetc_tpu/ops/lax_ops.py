@@ -236,11 +236,17 @@ def batch_norm_train(
     reduce_axes = (0, 1, 2)  # N, H, W — per-channel stats
     n = x.shape[0] * x.shape[1] * x.shape[2]
     batch_mean = jnp.mean(xf, axis=reduce_axes)
-    batch_var = jnp.mean(jnp.square(xf), axis=reduce_axes) - jnp.square(batch_mean)
+    mean_sq = jnp.mean(jnp.square(xf), axis=reduce_axes)
     if axis_name is not None:
+        # Combine raw moments across devices, not per-device variances:
+        # pmean(E[x²]_i − m_i²) would drop the between-device variance term
+        # pmean(m_i²) − m_global², underestimating var whenever per-device
+        # means differ.  pmean(E[x²]) − pmean(m)² is the exact global-batch
+        # variance (PyTorch SyncBatchNorm semantics).
         batch_mean = lax.pmean(batch_mean, axis_name)
-        batch_var = lax.pmean(batch_var, axis_name)
+        mean_sq = lax.pmean(mean_sq, axis_name)
         n = n * lax.psum(1, axis_name)
+    batch_var = mean_sq - jnp.square(batch_mean)
 
     inv = lax.rsqrt(batch_var + eps)
     a = (scale.astype(jnp.float32) * inv).astype(x.dtype)

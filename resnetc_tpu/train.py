@@ -190,8 +190,7 @@ def loss_fn(
     return loss, (new_bn_state, logits)
 
 
-@partial(jax.jit, static_argnums=(0, 1), donate_argnums=(2,))
-def train_step(
+def _train_step_impl(
     model_cfg: resnet.ResNetConfig,
     train_cfg: TrainConfig,
     ts: TrainState,
@@ -231,6 +230,12 @@ def train_step(
     return new_ts, metrics
 
 
+#: Public single-device entry point (configs static, state donated).
+train_step = partial(jax.jit, static_argnums=(0, 1), donate_argnums=(2,))(
+    _train_step_impl
+)
+
+
 def sharded_train_step(
     model_cfg: resnet.ResNetConfig,
     train_cfg: TrainConfig,
@@ -259,15 +264,25 @@ def sharded_train_step(
     def shard_state(ts: TrainState) -> TrainState:
         return jax.device_put(ts, state_shardings(ts))
 
-    def step(ts, images, labels, lr):
-        return train_step(model_cfg, train_cfg, ts, images, labels, lr)
+    # Input shardings propagate through the step (XLA inserts the DP gradient
+    # all-reduce); explicit out_shardings pin the new state to the same layout
+    # as the input state so buffer donation holds across steps by contract,
+    # not by relying on XLA's propagation choices.  Metrics are scalars —
+    # replicated.  The jit is built lazily on the first call because the
+    # sharding pytree needs the state's tree structure.
+    cache: dict[str, Any] = {}
 
-    # Shardings on the inputs are enough: XLA propagates them through the
-    # step and inserts the DP gradient all-reduce; out_shardings pin the new
-    # state to the same layout so donation works across steps.
     def jitted(ts, images, labels, lr):
         images = jax.device_put(images, img_sh)
         labels = jax.device_put(labels, lbl_sh)
-        return step(ts, images, labels, lr)
+        if "fn" not in cache:
+            rep = pmesh.replicated(mesh)
+            metrics_sh = {"loss": rep, "accuracy": rep, "grad_norm": rep}
+            cache["fn"] = jax.jit(
+                partial(_train_step_impl, model_cfg, train_cfg),
+                donate_argnums=(0,),
+                out_shardings=(state_shardings(ts), metrics_sh),
+            )
+        return cache["fn"](ts, images, labels, lr)
 
     return jitted, shard_state, (img_sh, lbl_sh)

@@ -86,6 +86,28 @@ def test_batch_loader_surfaces_decode_errors(tmp_path):
         list(BatchLoader([bad], batch_size=1, steps=1))
 
 
+def test_batch_loader_abandoned_iteration_stops_producer():
+    """Breaking out of iteration early must not leak the producer thread
+    blocked on a full queue (the take(it, n) pattern in cmd_train)."""
+    import threading
+    import time
+
+    before = {t.ident for t in threading.enumerate()}
+    loader = BatchLoader([FIXTURE], batch_size=1, steps=100, image_size=64, prefetch=2)
+    for _ in loader:
+        break  # abandon after one batch — producer is mid-stream, queue fills
+    deadline = time.monotonic() + 10.0
+    while time.monotonic() < deadline:
+        leaked = [
+            t for t in threading.enumerate()
+            if t.ident not in before and t.is_alive()
+        ]
+        if not leaked:
+            break
+        time.sleep(0.05)
+    assert not leaked, f"producer thread(s) leaked after abandoned iteration: {leaked}"
+
+
 def test_synthetic_batches():
     it = synthetic_batches(batch_size=4, image_size=32, steps=2, num_classes=10)
     (x1, y1), (x2, y2) = list(it)

@@ -128,6 +128,38 @@ def test_dp_inference_matches_single_device():
     )
 
 
+def test_sync_bn_axis_name_matches_global_batch_oracle():
+    """Explicit sync-BN (axis_name=) must equal single-device BN on the
+    concatenated global batch — including the variance.  Per-device means are
+    deliberately far apart so combining per-device *variances* instead of raw
+    moments (the round-1 bug) would drop the large between-device term."""
+    from resnetc_tpu.ops.lax_ops import batch_norm_train
+
+    rng = np.random.default_rng(7)
+    # (devices, per-device batch, H, W, C) with a big per-device mean offset.
+    x = rng.standard_normal((8, 4, 6, 6, 16)).astype(np.float32)
+    x += np.arange(8, dtype=np.float32)[:, None, None, None, None] * 5.0
+    scale = rng.standard_normal(16).astype(np.float32)
+    bias = rng.standard_normal(16).astype(np.float32)
+    r_mean = np.zeros(16, np.float32)
+    r_var = np.ones(16, np.float32)
+
+    out, nm, nv = jax.pmap(
+        lambda xs: batch_norm_train(xs, scale, bias, r_mean, r_var, axis_name="b"),
+        axis_name="b",
+    )(x)
+
+    ref_out, ref_nm, ref_nv = batch_norm_train(
+        jnp.asarray(x.reshape(-1, 6, 6, 16)), scale, bias, r_mean, r_var
+    )
+    np.testing.assert_allclose(np.asarray(nm[0]), np.asarray(ref_nm), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(nv[0]), np.asarray(ref_nv), rtol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(out).reshape(-1, 6, 6, 16), np.asarray(ref_out),
+        rtol=2e-3, atol=2e-3,  # normalized output is O(1); fp32 moment noise
+    )
+
+
 def test_tp_forward_matches_replicated():
     """Channel TP (model axis) must be numerics-preserving: XLA inserts the
     collectives, results match the replicated run."""
