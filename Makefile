@@ -2,7 +2,7 @@
 # Makefile:1-13 — here the engine needs no compilation, only the native
 # runtime helpers do).
 
-.PHONY: all native test bench graft clean
+.PHONY: all native test bench graft verify-tpu clean
 
 all: native
 
@@ -21,6 +21,11 @@ bench:
 # Driver entry smoke: single-chip compile check + 8-device dry run.
 graft:
 	python __graft_entry__.py
+
+# Compiled-path (Mosaic) kernel parity on the real chip; writes
+# VERIFY_TPU.json, exit 0 iff every kernel matches its lax oracle.
+verify-tpu:
+	python tools/verify_tpu.py
 
 clean:
 	$(MAKE) -C resnetc_tpu/native clean

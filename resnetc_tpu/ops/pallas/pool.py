@@ -29,16 +29,34 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def _pool_kernel(x_ref, o_ref, *, k, stride, oh, ow):
-    # x_ref: (s*s phases, bt, hq, wq, tc); o_ref: (bt, oh, ow, tc)
-    acc = None
-    for kh in range(k):
-        for kw in range(k):
-            phase = (kh % stride) * stride + (kw % stride)
-            qh, qw = kh // stride, kw // stride
-            sl = x_ref[phase, :, qh : qh + oh, qw : qw + ow, :]
-            acc = sl if acc is None else jnp.maximum(acc, sl)
-    o_ref[:] = acc.astype(o_ref.dtype)
+def _pool_tap_kernel(x_ref, o_ref, *, k, stride, oh, ow):
+    """One kernel ROW of taps (kh) per grid step; the output block is
+    revisited across the k steps and max-accumulated in VMEM.
+
+    Keeping kh in the grid bounds scoped VMEM to the s same-row phase planes
+    + the output block: the fully-unrolled version loaded the whole
+    (s*s, hq, wq, tc) plane stack per step, which blows the 16MB scoped-VMEM
+    limit at the stem pool's 112x112 shape (caught by tools/verify_tpu.py —
+    interpret mode can't see compiled-path VMEM budgets).  kw stays unrolled
+    in the body because its offset lands on the SUBLANE dim, where Mosaic
+    only allows dynamic starts it can prove 8-aligned; the dynamic kh offset
+    lands on the untiled H dim, which is unrestricted.
+    """
+    kh = pl.program_id(2)
+    qh = kh // stride
+    cur = None
+    for kw in range(k):
+        pw, qw = kw % stride, kw // stride
+        sl = x_ref[pw, :, pl.ds(qh, oh), qw : qw + ow, :].astype(o_ref.dtype)
+        cur = sl if cur is None else jnp.maximum(cur, sl)
+
+    @pl.when(kh == 0)
+    def _first():
+        o_ref[:] = cur
+
+    @pl.when(kh > 0)
+    def _rest():
+        o_ref[:] = jnp.maximum(o_ref[:], cur)
 
 
 @functools.partial(
@@ -94,38 +112,60 @@ def max_pool2d(
 
     bt = 1
     itemsize = jnp.dtype(x.dtype).itemsize
+    # Footprint at the doubled bt, with the sublane dims (wq, ow) padded to 8
+    # as Mosaic lays them out; budget leaves room for double buffering +
+    # kernel temporaries inside the 16MB scoped-VMEM limit.
+    wq8, ow8 = _round_up(wq, 8), _round_up(ow, 8)
     while (
         bt < b
         and b % (2 * bt) == 0
-        and 2 * bt * s * s * hq * wq * tc * itemsize <= 4 * 2**20
+        and 2 * bt * (s * hq * wq8 + oh * ow8) * tc * itemsize <= 3500 * 2**10
     ):
         bt *= 2
 
     out = pl.pallas_call(
-        functools.partial(_pool_kernel, k=k, stride=s, oh=oh, ow=ow),
-        grid=(b // bt, cp // tc),
+        functools.partial(_pool_tap_kernel, k=k, stride=s, oh=oh, ow=ow),
+        grid=(b // bt, cp // tc, k),
         in_specs=[
-            pl.BlockSpec((s * s, bt, hq, wq, tc), lambda i, j: (0, i, 0, 0, j))
+            # Block = the s same-kh phase planes (pw = 0..s-1); plane index
+            # ph*s+pw makes them contiguous, so block index kh%s selects them.
+            pl.BlockSpec(
+                (s, bt, hq, wq, tc), lambda i, j, kh: (kh % s, i, 0, 0, j)
+            )
         ],
-        out_specs=pl.BlockSpec((bt, oh, ow, tc), lambda i, j: (i, 0, 0, j)),
+        out_specs=pl.BlockSpec((bt, oh, ow, tc), lambda i, j, kh: (i, 0, 0, j)),
         out_shape=jax.ShapeDtypeStruct((b, oh, ow, cp), x.dtype),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel"),
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
         interpret=interpret,
     )(planes)
     return out[..., :c] if cp != c else out
 
 
-def _avg_pool_kernel(x_ref, o_ref, *, k, stride, oh, ow, divisor):
-    acc = None
-    for kh in range(k):
-        for kw in range(k):
-            phase = (kh % stride) * stride + (kw % stride)
-            qh, qw = kh // stride, kw // stride
-            sl = x_ref[phase, :, qh : qh + oh, qw : qw + ow, :].astype(jnp.float32)
-            acc = sl if acc is None else acc + sl
-    o_ref[:] = (acc * (1.0 / divisor)).astype(o_ref.dtype)
+def _avg_tap_kernel(x_ref, o_ref, acc_ref, *, k, stride, oh, ow, divisor):
+    """Tap-row-per-grid-step average pool (same scoped-VMEM / alignment
+    structure as _pool_tap_kernel) with an fp32 scratch accumulator; the
+    quotient is written once, on the final kh step."""
+    kh = pl.program_id(2)
+    qh = kh // stride
+    cur = None
+    for kw in range(k):
+        pw, qw = kw % stride, kw // stride
+        sl = x_ref[pw, :, pl.ds(qh, oh), qw : qw + ow, :].astype(jnp.float32)
+        cur = sl if cur is None else cur + sl
+
+    @pl.when(kh == 0)
+    def _first():
+        acc_ref[:] = cur
+
+    @pl.when(kh > 0)
+    def _rest():
+        acc_ref[:] = acc_ref[:] + cur
+
+    @pl.when(kh == k - 1)
+    def _emit():
+        o_ref[:] = (acc_ref[:] * (1.0 / divisor)).astype(o_ref.dtype)
 
 
 @functools.partial(
@@ -170,24 +210,28 @@ def avg_pool2d(
 
     bt = 1
     itemsize = jnp.dtype(x.dtype).itemsize
+    wq8, ow8 = _round_up(wq, 8), _round_up(ow, 8)
     while (
         bt < b and b % (2 * bt) == 0
-        and 2 * bt * s * s * hq * wq * tc * itemsize <= 4 * 2**20
+        and 2 * bt * (s * hq * wq8 + 2 * oh * ow8) * tc * itemsize <= 3500 * 2**10
     ):
         bt *= 2
 
     out = pl.pallas_call(
         functools.partial(
-            _avg_pool_kernel, k=k, stride=s, oh=oh, ow=ow, divisor=k * k
+            _avg_tap_kernel, k=k, stride=s, oh=oh, ow=ow, divisor=k * k
         ),
-        grid=(b // bt, cp // tc),
+        grid=(b // bt, cp // tc, k),
         in_specs=[
-            pl.BlockSpec((s * s, bt, hq, wq, tc), lambda i, j: (0, i, 0, 0, j))
+            pl.BlockSpec(
+                (s, bt, hq, wq, tc), lambda i, j, kh: (kh % s, i, 0, 0, j)
+            )
         ],
-        out_specs=pl.BlockSpec((bt, oh, ow, tc), lambda i, j: (i, 0, 0, j)),
+        out_specs=pl.BlockSpec((bt, oh, ow, tc), lambda i, j, kh: (i, 0, 0, j)),
         out_shape=jax.ShapeDtypeStruct((b, oh, ow, cp), x.dtype),
+        scratch_shapes=[pltpu.VMEM((bt, oh, ow, tc), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel"),
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
         interpret=interpret,
     )(planes)

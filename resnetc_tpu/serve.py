@@ -46,8 +46,11 @@ class InferenceEngine:
     ):
         self.model_cfg = model_cfg
         self.policy = policy
-        if backend not in ("xla", "pallas", "int8"):
-            raise ValueError(f"backend must be 'xla', 'pallas' or 'int8', got {backend!r}")
+        if backend not in ("xla", "pallas", "pallas_block", "int8"):
+            raise ValueError(
+                "backend must be 'xla', 'pallas', 'pallas_block' or 'int8', "
+                f"got {backend!r}"
+            )
         folded = resnet.fold_inference_params(model_cfg, variables)
         if backend == "int8":
             from resnetc_tpu.ops.pallas.quant import quantize_folded
@@ -70,6 +73,11 @@ class InferenceEngine:
 
             def run(folded, x):
                 return fused_forward(cfg, folded, x, policy=policy)
+        elif self._backend == "pallas_block":
+            from resnetc_tpu.ops.pallas import fused_forward
+
+            def run(folded, x):
+                return fused_forward(cfg, folded, x, policy=policy, block_fusion=True)
         else:  # int8
             from resnetc_tpu.ops.pallas.fused import fused_forward_int8
 

@@ -128,6 +128,29 @@ def test_dp_inference_matches_single_device():
     )
 
 
+def test_host_local_to_global_assembles_sharded_batch():
+    """Single-process case of the multi-host assembly path: the local array
+    is the whole global batch; the wrapper must produce a 'data'-sharded
+    global jax.Array with identical contents."""
+    from resnetc_tpu.parallel.distributed import (
+        global_batch_slice,
+        host_local_to_global,
+        is_multiprocess,
+    )
+
+    assert not is_multiprocess()
+    start, size = global_batch_slice(16)
+    assert (start, size) == (0, 16)  # one process owns the whole batch
+
+    mesh = create_mesh()
+    local = np.arange(16 * 4, dtype=np.float32).reshape(16, 4)
+    garr = host_local_to_global(local, mesh, P("data"))
+    assert garr.shape == (16, 4)
+    assert garr.sharding.spec == P("data")
+    assert garr.addressable_shards[0].data.shape == (2, 4)
+    np.testing.assert_array_equal(np.asarray(garr), local)
+
+
 def test_sync_bn_axis_name_matches_global_batch_oracle():
     """Explicit sync-BN (axis_name=) must equal single-device BN on the
     concatenated global batch — including the variance.  Per-device means are
