@@ -114,6 +114,203 @@ def _block_kernel(
         o_ref[bi] = img.reshape(h, wp, c4)
 
 
+# ---------------------------------------------------------------------------
+# Chained variant: padded-row layout in AND out, so consecutive stride-1
+# blocks compose with ZERO relayout between them.
+# ---------------------------------------------------------------------------
+
+
+def _chained_kernel(
+    x_ref, w1_ref, b1_ref, w2p_ref, b2_ref, w3_ref, b3_ref, mask_ref,
+    o_ref, z1_ref,
+    *, bt, hp, wp, c, c4,
+):
+    """One stride-1 bottleneck block over flat padded rows -> the SAME flat
+    padded-row layout (ring rows carry garbage; see bottleneck_block_chained).
+
+    Differences from _block_kernel (the pad-in/strip-out variant):
+
+    - y is computed for ALL padded rows (t = padded position), so stores are
+      aligned full-width writes — no per-image slice/reshape loop;
+    - the kw-interleaved z1 buffer is laid out as z1i[u] = z1[u - (wp+1) + kw]
+      so every later tap read is at an ALIGNED offset (store offsets
+      wp+1 / wp / wp-1: two sublane rotates total);
+    - the 3x3 runs as ONE MXU pass (rows+2wp, 3c) @ (3c, 3c) with the kh taps
+      batched into the OUTPUT dim: P[u, kh*c+j] = sum_{kw,k} z1i[u, kw*c+k] *
+      w2[kh,kw,k,j].  z2[t] = sum_kh P[t + kh*wp, kh-block] — three ALIGNED
+      fp32 slice-adds.  At c=64 this lifts the MXU N-width from 64 (50%
+      utilisation) to 192, and replaces three dots with one;
+    - conv3 + bias + residual + ReLU is computed in row chunks written
+      straight to the output block, so no full-size fp32 stack buffer;
+    - the interior mask is applied with a NaN-killing ``where`` (a multiply
+      would propagate NaNs from the previous block's garbage ring:
+      NaN * 0 == NaN, and ring z1 feeds interior z2 through the taps).
+    """
+    rows = bt * hp * wp
+
+    # --- conv1 (1x1, 4c -> c); where-mask zeroes the ring row-wise.
+    z1 = jnp.dot(x_ref[:], w1_ref[:], preferred_element_type=jnp.float32)
+    z1 = jnp.maximum(z1 + b1_ref[:].astype(jnp.float32), 0.0)
+    z1 = jnp.where(
+        mask_ref[:].reshape(1, hp * wp, 1) > 0, z1.reshape(bt, hp * wp, c), 0.0
+    )
+    z1 = z1.reshape(rows, c).astype(z1_ref.dtype)
+
+    # Zero the scratch regions the taps read but the interleave never writes
+    # (ring garbage there would otherwise be NaN-capable).
+    z1_ref[0 : wp + 8, :] = jnp.zeros((wp + 8, 3 * c), z1_ref.dtype)
+    z1_ref[rows + wp - 8 : rows + 2 * wp, :] = jnp.zeros((wp + 8, 3 * c), z1_ref.dtype)
+
+    # kw-interleave at offsets wp+1-kw (kw=1 lands aligned on wp).
+    for kw in range(3):
+        z1_ref[wp + 1 - kw : wp + 1 - kw + rows, kw * c : (kw + 1) * c] = z1
+
+    # --- conv2 (3x3 s1): one MXU pass, kh batched into N.
+    P = jnp.dot(z1_ref[:], w2p_ref[:], preferred_element_type=jnp.float32)
+    acc2 = (
+        jax.lax.slice(P, (0, 0), (rows, c))
+        + jax.lax.slice(P, (wp, c), (wp + rows, 2 * c))
+        + jax.lax.slice(P, (2 * wp, 2 * c), (2 * wp + rows, 3 * c))
+    )
+    z2 = jnp.maximum(acc2 + b2_ref[:].astype(jnp.float32), 0.0).astype(
+        z1_ref.dtype
+    )
+
+    # --- conv3 (1x1, c -> 4c) + residual + ReLU, chunked straight into the
+    # output block (bounds the fp32 stack to one chunk).
+    chunk = rows
+    while chunk > 1024 and chunk % 2 == 0:
+        chunk //= 2
+    for lo in range(0, rows, chunk):
+        y = jnp.dot(
+            jax.lax.slice_in_dim(z2, lo, lo + chunk, axis=0),
+            w3_ref[:],
+            preferred_element_type=jnp.float32,
+        )
+        y = y + b3_ref[:].astype(jnp.float32)
+        y = y + x_ref[lo : lo + chunk, :].astype(jnp.float32)
+        o_ref[lo : lo + chunk, :] = jnp.maximum(y, 0.0).astype(o_ref.dtype)
+
+
+def chain_meta(b: int, h: int, w_sp: int) -> tuple[int, int]:
+    """(hp, wp) of the chained padded-row layout for (B, H, W, C) inputs."""
+    return h + 2, _round_up(w_sp + 2, 8)
+
+
+def pad_for_chain(x: jax.Array) -> jax.Array:
+    """NHWC -> flat padded rows (B*Hp*Wp, C): one XLA pad, paid once per
+    chain of blocks instead of once per block."""
+    b, h, w_sp, c4 = x.shape
+    hp, wp = chain_meta(b, h, w_sp)
+    x_pad = jnp.pad(x, ((0, 0), (1, 1), (1, wp - w_sp - 1), (0, 0)))
+    return x_pad.reshape(b * hp * wp, c4)
+
+
+def unpad_from_chain(xr: jax.Array, b: int, h: int, w_sp: int) -> jax.Array:
+    """Flat padded rows -> NHWC (an XLA slice; fuses into the consumer)."""
+    hp, wp = chain_meta(b, h, w_sp)
+    c4 = xr.shape[-1]
+    return xr.reshape(b, hp, wp, c4)[:, 1 : 1 + h, 1 : 1 + w_sp, :]
+
+
+def _pick_bt_chain(b: int, hp: int, wp: int, c: int, c4: int) -> int:
+    """Largest divisor of B whose chained working set fits the VMEM budget."""
+    budget = 9 * 2**20
+    weights = (c4 * c + 9 * c * c + c * c4) * 2
+    best = 1
+    for bt in range(1, b + 1):
+        if b % bt:
+            continue
+        rows = bt * hp * wp
+        work = (
+            rows * c4 * 2              # x block (bf16)
+            + (rows + 2 * wp) * 3 * c * 2  # kw-interleaved z1 (bf16)
+            + rows * c * 4             # 3x3 accumulator (fp32)
+            + rows * c4 * 4            # final accumulator (fp32)
+            + weights
+        )
+        if work > budget:
+            break
+        best = bt
+    return best
+
+
+@functools.partial(jax.jit, static_argnames=("h", "w_sp", "bt", "interpret"))
+def bottleneck_block_chained(
+    xr: jax.Array,
+    w1: jax.Array, b1: jax.Array,
+    w2: jax.Array, b2: jax.Array,
+    w3: jax.Array, b3: jax.Array,
+    *,
+    h: int, w_sp: int,
+    bt: int | None = None,
+    interpret: bool = False,
+) -> jax.Array:
+    """One stride-1 bottleneck block over the chained padded-row layout.
+
+    xr: (B*Hp*Wp, 4c) from pad_for_chain (or a previous chained block); the
+    output has the same shape/layout, so N consecutive blocks cost one pad +
+    N kernels + one unpad — the per-block XLA pad/relayout passes of
+    bottleneck_block_fused (measured ~25-40%% of its time at 56^2,
+    tools/probe_block_phases.py) disappear.
+
+    The ring rows of the output are garbage by design: the next block's
+    where-mask zeroes them in z1 before they can reach any interior value,
+    and unpad_from_chain strips them at the stage boundary.
+    """
+    if w1.ndim == 4:
+        w1 = w1[0, 0]
+    if w3.ndim == 4:
+        w3 = w3[0, 0]
+    c = w1.shape[-1]
+    c4 = w1.shape[0]
+    hp, wp = h + 2, _round_up(w_sp + 2, 8)
+    total_rows, c4_in = xr.shape
+    b = total_rows // (hp * wp)
+    assert b * hp * wp == total_rows and c4_in == c4, (xr.shape, (b, hp, wp, c4))
+    bt = bt or _pick_bt_chain(b, hp, wp, c, c4)
+
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (hp * wp, 1), 0)
+    r, cc = row_ids // wp, row_ids % wp
+    mask = ((r >= 1) & (r <= h) & (cc >= 1) & (cc <= w_sp)).astype(jnp.float32)
+
+    # kh batched into the 3x3 weight's output dim: w2p[(kw,k),(kh,j)].
+    w2p = jnp.transpose(w2, (1, 2, 0, 3)).reshape(3 * c, 3 * c)
+
+    rows = bt * hp * wp
+    return pl.pallas_call(
+        functools.partial(
+            _chained_kernel, bt=bt, hp=hp, wp=wp, c=c, c4=c4,
+        ),
+        grid=(b // bt,),
+        in_specs=[
+            pl.BlockSpec((rows, c4), lambda i: (i, 0)),
+            pl.BlockSpec((c4, c), lambda i: (0, 0)),
+            pl.BlockSpec((1, c), lambda i: (0, 0)),
+            pl.BlockSpec((3 * c, 3 * c), lambda i: (0, 0)),
+            pl.BlockSpec((1, c), lambda i: (0, 0)),
+            pl.BlockSpec((c, c4), lambda i: (0, 0)),
+            pl.BlockSpec((1, c4), lambda i: (0, 0)),
+            pl.BlockSpec((hp * wp, 1), lambda i: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((rows, c4), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((b * hp * wp, c4), xr.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((rows + 2 * wp, 3 * c), xr.dtype),  # kw-interleaved z1
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * hp * wp * (c4 * c + 9 * c * c + c * c4),
+            bytes_accessed=2 * (b * hp * wp * c4 * 2)
+            + (c4 * c + 9 * c * c + c * c4) * 2,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(xr, w1, b1[None, :], w2p, b2[None, :], w3, b3[None, :], mask)
+
+
 @functools.partial(jax.jit, static_argnames=("bt", "interpret"))
 def bottleneck_block_fused(
     x: jax.Array,

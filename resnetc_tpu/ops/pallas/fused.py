@@ -85,7 +85,8 @@ def fused_forward(
     for stage in range(4):
         blocks = folded[f"layer{stage + 1}"]
         stage_stride = 1 if stage == 0 else 2
-        for b in range(cfg.stage_blocks[stage]):
+        b = 0
+        while b < cfg.stage_blocks[stage]:
             blk = blocks[str(b)]
             s = stage_stride if b == 0 else 1
             if (
@@ -94,15 +95,33 @@ def fused_forward(
                 and s == 1
                 and "downsample" not in blk
             ):
-                from resnetc_tpu.ops.pallas.block import bottleneck_block_fused
-
-                y = bottleneck_block_fused(
-                    y,
-                    blk["conv1"]["weight"].astype(policy.compute), blk["conv1"]["bias"],
-                    blk["conv2"]["weight"].astype(policy.compute), blk["conv2"]["bias"],
-                    blk["conv3"]["weight"].astype(policy.compute), blk["conv3"]["bias"],
-                    interpret=interpret,
+                from resnetc_tpu.ops.pallas.block import (
+                    bottleneck_block_chained,
+                    pad_for_chain,
+                    unpad_from_chain,
                 )
+
+                # Chain every consecutive eligible block through the
+                # padded-row layout: ONE pad, N single-kernel blocks, ONE
+                # unpad — the per-block XLA pad/relayout passes measured as
+                # 25-40% of megakernel time (tools/probe_block_phases.py)
+                # are paid once per run instead of once per block.
+                bsz, h, w_sp, _ = y.shape
+                yr = pad_for_chain(y)
+                while (
+                    b < cfg.stage_blocks[stage]
+                    and "downsample" not in blocks[str(b)]
+                ):
+                    blk = blocks[str(b)]
+                    yr = bottleneck_block_chained(
+                        yr,
+                        blk["conv1"]["weight"].astype(policy.compute), blk["conv1"]["bias"],
+                        blk["conv2"]["weight"].astype(policy.compute), blk["conv2"]["bias"],
+                        blk["conv3"]["weight"].astype(policy.compute), blk["conv3"]["bias"],
+                        h=h, w_sp=w_sp, interpret=interpret,
+                    )
+                    b += 1
+                y = unpad_from_chain(yr, bsz, h, w_sp)
                 continue
             if "downsample" in blk:
                 short = _conv(
@@ -125,6 +144,7 @@ def fused_forward(
                     z, blk["conv2"], stride=1, relu=True, residual=short,
                     policy=policy, interpret=interpret,
                 )
+            b += 1
 
     feats = jnp.mean(y.astype(jnp.float32), axis=(1, 2)).astype(policy.compute)
     logits = matmul(

@@ -153,6 +153,42 @@ def test_bottleneck_block_fused_matches_oracle(rng):
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-4, atol=1e-4)
 
 
+def test_bottleneck_block_chained_matches_oracle(rng):
+    """The padded-row chained variant: a 3-block chain (one pad, three
+    kernels, one unpad) must equal three oracle blocks — in particular the
+    garbage ring rows of intermediate outputs must never leak into the
+    interior (the where-mask NaN-kill property)."""
+    from resnetc_tpu.ops.pallas.block import (
+        bottleneck_block_chained,
+        pad_for_chain,
+        unpad_from_chain,
+    )
+
+    b, h, c = 2, 9, 16
+    c4 = 4 * c
+    x = jnp.asarray(rng.standard_normal((b, h, h, c4), dtype=np.float32))
+    w1 = jnp.asarray(rng.standard_normal((c4, c), dtype=np.float32) * 0.1)
+    b1 = jnp.asarray(rng.standard_normal((c,), dtype=np.float32))
+    w2 = jnp.asarray(rng.standard_normal((3, 3, c, c), dtype=np.float32) * 0.1)
+    b2 = jnp.asarray(rng.standard_normal((c,), dtype=np.float32))
+    w3 = jnp.asarray(rng.standard_normal((c, c4), dtype=np.float32) * 0.1)
+    b3 = jnp.asarray(rng.standard_normal((c4,), dtype=np.float32))
+
+    ref = x
+    for _ in range(3):
+        z1 = jnp.maximum(lax_ops.conv2d(ref, w1.reshape(1, 1, c4, c)) + b1, 0)
+        z2 = jnp.maximum(lax_ops.conv2d(z1, w2, stride=1, padding=1) + b2, 0)
+        ref = jnp.maximum(lax_ops.conv2d(z2, w3.reshape(1, 1, c, c4)) + b3 + ref, 0)
+
+    yr = pad_for_chain(x)
+    for _ in range(3):
+        yr = bottleneck_block_chained(
+            yr, w1, b1, w2, b2, w3, b3, h=h, w_sp=h, interpret=True
+        )
+    got = unpad_from_chain(yr, b, h, h)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-3, atol=1e-3)
+
+
 def test_fused_forward_block_fusion_matches(rng):
     """block_fusion=True must be numerically identical (fp32) to the routed path."""
     cfg = resnet.get_config("resnet50", num_classes=7)

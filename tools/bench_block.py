@@ -75,22 +75,39 @@ def xla_block(x, w1, b1, w2, b2, w3, b3):
     return jnp.maximum(y + b3 + x.astype(jnp.float32), 0).astype(x.dtype)
 
 
-def run_variant(variant: str, args_tuple, *, bt=None):
+def run_variant(variant: str, args_tuple, *, bt=None, chain=1):
     x, w1, b1, w2, b2, w3, b3 = args_tuple
     if variant == "xla":
-        return lambda xx: xla_block(xx, w1, b1, w2, b2, w3, b3)
+        def fn(xx):
+            for _ in range(chain):
+                xx = xla_block(xx, w1, b1, w2, b2, w3, b3)
+            return xx
+        return fn
     if variant == "mega":
         from resnetc_tpu.ops.pallas.block import bottleneck_block_fused
 
-        return lambda xx: bottleneck_block_fused(
-            xx, w1, b1, w2, b2, w3, b3, bt=bt
+        def fn(xx):
+            for _ in range(chain):
+                xx = bottleneck_block_fused(xx, w1, b1, w2, b2, w3, b3, bt=bt)
+            return xx
+        return fn
+    if variant == "chained":
+        from resnetc_tpu.ops.pallas.block import (
+            bottleneck_block_chained,
+            pad_for_chain,
+            unpad_from_chain,
         )
-    if variant == "mega_pipe":
-        from resnetc_tpu.ops.pallas.block import bottleneck_block_pipelined
 
-        return lambda xx: bottleneck_block_pipelined(
-            xx, w1, b1, w2, b2, w3, b3, bt=bt
-        )
+        b, h, w_sp, _ = x.shape
+
+        def fn(xx):
+            xr = pad_for_chain(xx)
+            for _ in range(chain):
+                xr = bottleneck_block_chained(
+                    xr, w1, b1, w2, b2, w3, b3, h=h, w_sp=w_sp, bt=bt
+                )
+            return unpad_from_chain(xr, b, h, w_sp)
+        return fn
     raise SystemExit(f"unknown variant {variant}")
 
 
@@ -101,6 +118,7 @@ def main() -> int:
     ap.add_argument("--batch", type=int, default=256)
     ap.add_argument("--iters", type=int, default=16)
     ap.add_argument("--bt", type=int, default=None)
+    ap.add_argument("--chain", type=int, default=1, help="apply the block N times per step")
     ap.add_argument("--check", action="store_true", help="also verify numerics vs xla")
     args = ap.parse_args()
 
@@ -117,18 +135,18 @@ def main() -> int:
         ref = None
         for v in variants:
             try:
-                fn = run_variant(v, inputs, bt=args.bt)
+                fn = run_variant(v, inputs, bt=args.bt, chain=args.chain)
                 if args.check:
                     got = np.asarray(fn(x), np.float32)
                     if ref is None and v != "xla":
-                        ref = np.asarray(run_variant("xla", inputs)(x), np.float32)
+                        ref = np.asarray(run_variant("xla", inputs, chain=args.chain)(x), np.float32)
                     if v != "xla" and ref is not None:
                         err = float(np.mean(np.abs(got - ref))) / (
                             float(np.mean(np.abs(ref))) or 1.0
                         )
                         row.append(f"[{v} rel_mae {err:.2e}]")
                 sec = chained_seconds_per_iter(fn, x, iters=args.iters)
-                row.append(f"{v}={sec * 1e3:.3f}ms")
+                row.append(f"{v}={sec * 1e3 / args.chain:.3f}ms/blk")
             except Exception as e:
                 row.append(f"{v}=ERR({type(e).__name__}: {str(e)[:120]})")
         print("  ".join(row), flush=True)

@@ -263,6 +263,44 @@ def _():
     return rel_mae(got, ref)
 
 
+@check("bottleneck_block_chained 3-chain 28x28 c=128", BF16_GATE)
+def _():
+    from resnetc_tpu.ops import lax_ops
+    from resnetc_tpu.ops.pallas.block import (
+        bottleneck_block_chained,
+        pad_for_chain,
+        unpad_from_chain,
+    )
+
+    r = _rng()
+    c, c4 = 128, 512
+    x = r.standard_normal((2, 28, 28, c4), dtype=np.float32)
+    w1 = r.standard_normal((c4, c), dtype=np.float32) * 0.05
+    w2 = r.standard_normal((3, 3, c, c), dtype=np.float32) * 0.05
+    w3 = r.standard_normal((c, c4), dtype=np.float32) * 0.05
+    b1 = r.standard_normal(c, dtype=np.float32) * 0.1
+    b2 = r.standard_normal(c, dtype=np.float32) * 0.1
+    b3 = r.standard_normal(c4, dtype=np.float32) * 0.1
+
+    ref = jnp.asarray(x, jnp.float32)
+    for _ in range(3):
+        y = jnp.maximum(lax_ops.conv2d(ref, jnp.asarray(w1).reshape(1, 1, c4, c)) + b1, 0)
+        y = jnp.maximum(lax_ops.conv2d(y, jnp.asarray(w2), stride=1, padding=1) + b2, 0)
+        ref = jnp.maximum(lax_ops.conv2d(y, jnp.asarray(w3).reshape(1, 1, c, c4)) + b3 + ref, 0)
+
+    yr = pad_for_chain(jnp.asarray(x, jnp.bfloat16))
+    for _ in range(3):
+        yr = bottleneck_block_chained(
+            yr,
+            jnp.asarray(w1, jnp.bfloat16), jnp.asarray(b1, jnp.float32),
+            jnp.asarray(w2, jnp.bfloat16), jnp.asarray(b2, jnp.float32),
+            jnp.asarray(w3, jnp.bfloat16), jnp.asarray(b3, jnp.float32),
+            h=28, w_sp=28,
+        )
+    got = unpad_from_chain(yr, 2, 28, 28)
+    return rel_mae(got, np.asarray(ref))
+
+
 # ---------------------------------------------------------------------------
 # Whole-model executed-path parity (every serving backend vs the XLA oracle)
 # ---------------------------------------------------------------------------
