@@ -66,7 +66,11 @@ def main() -> None:
     # Measure every backend; headline = the best. Pallas interpret mode on a
     # CPU host is far too slow to smoke here — tests cover it — so CPU runs
     # only exercise the XLA backend.
-    backends = ["xla", "pallas", "pallas_block", "int8"] if on_tpu else ["xla"]
+    backends = (
+        ["xla", "pallas", "pallas_block", "int8", "int8_chain"]
+        if on_tpu
+        else ["xla"]
+    )
     per_backend: dict[str, float | None] = {}
     engines: dict[str, InferenceEngine] = {}
     for b in backends:

@@ -291,6 +291,203 @@ def calibrate_activation_scales(
     return scales
 
 
+# ---------------------------------------------------------------------------
+# Int8 chained serving: producer-epilogue quantization through whole stages.
+# Activations cross HBM as int8 (half the bf16 traffic) and every dot in the
+# chained megakernel runs on the int8 MXU path (~1.8x bf16, measured).
+# ---------------------------------------------------------------------------
+
+
+def _chain_runs(cfg: ResNetConfig, blocks: Pytree, stage: int):
+    """Indices of the maximal run of chain-eligible blocks in one stage
+    (stride-1 bottleneck blocks without a downsample — contiguous by
+    construction in ResNet: only block 0 of a stage ever downsamples)."""
+    run = []
+    stage_stride = 1 if stage == 0 else 2
+    for b in range(cfg.stage_blocks[stage]):
+        s = stage_stride if b == 0 else 1
+        if s == 1 and "downsample" not in blocks[str(b)]:
+            run.append(b)
+    return run
+
+
+def calibrate_chain_scales(
+    cfg: ResNetConfig,
+    folded: Pytree,
+    x: jax.Array,
+    *,
+    policy: DtypePolicy = BF16,
+) -> Pytree:
+    """Static activation scales for the int8 chained kernel.
+
+    Runs the fp folded forward over a representative batch and records
+    absmax/127 for, at every chain-eligible block: the block INPUT ("in"),
+    conv1's post-ReLU output ("z1") and conv2's post-ReLU output ("z2").
+    Consecutive blocks share boundaries (block k's output scale IS block
+    k+1's "in"), so the kernel's s_y comes from the next block's record.
+    """
+    scales: dict = {}
+
+    def s_of(act):
+        return jnp.maximum(jnp.max(jnp.abs(act.astype(jnp.float32))) / 127.0, 1e-8)
+
+    def conv(xx, entry, *, stride, relu):
+        w = entry["weight"].astype(policy.compute)
+        k = w.shape[0]
+        y = lax_ops.conv2d(xx, w, stride=stride, padding=k // 2)
+        y = y + entry["bias"].astype(y.dtype)
+        return lax_ops.relu(y) if relu else y
+
+    x = x.astype(policy.compute)
+    y = conv(x, folded["conv1"], stride=2, relu=True)
+    y = lax_ops.max_pool2d(y, kernel_size=3, stride=2, padding=1)
+
+    for stage in range(4):
+        blocks = folded[f"layer{stage + 1}"]
+        run = set(_chain_runs(cfg, blocks, stage))
+        stage_stride = 1 if stage == 0 else 2
+        layer_scales: dict = {}
+        for b in range(cfg.stage_blocks[stage]):
+            blk = blocks[str(b)]
+            s = stage_stride if b == 0 else 1
+            short = (
+                conv(y, blk["downsample"], stride=s, relu=False)
+                if "downsample" in blk
+                else y
+            )
+            if cfg.block == "bottleneck":
+                z1 = conv(y, blk["conv1"], stride=1, relu=True)
+                z2 = conv(z1, blk["conv2"], stride=s, relu=True)
+                if b in run:
+                    layer_scales[str(b)] = {
+                        "in": s_of(y), "z1": s_of(z1), "z2": s_of(z2),
+                    }
+                y = lax_ops.relu(conv(z2, blk["conv3"], stride=1, relu=False) + short)
+            else:
+                z = conv(y, blk["conv1"], stride=s, relu=True)
+                y = lax_ops.relu(conv(z, blk["conv2"], stride=1, relu=False) + short)
+        if layer_scales:
+            scales[f"layer{stage + 1}"] = layer_scales
+    return scales
+
+
+def quantize_chain(cfg: ResNetConfig, folded: Pytree) -> Pytree:
+    """Quantize every chain-eligible block for the int8 chained megakernel;
+    everything else keeps its folded fp entries (served bf16)."""
+    from resnetc_tpu.ops.pallas.block import quantize_chain_block
+
+    out = {k: v for k, v in folded.items() if not k.startswith("layer")}
+    for stage in range(4):
+        blocks = folded[f"layer{stage + 1}"]
+        run = set(_chain_runs(cfg, blocks, stage))
+        qblocks = {}
+        for b_str, blk in blocks.items():
+            if int(b_str) in run and cfg.block == "bottleneck":
+                qblocks[b_str] = quantize_chain_block(blk)
+            else:
+                qblocks[b_str] = blk
+        out[f"layer{stage + 1}"] = qblocks
+    return out
+
+
+def fused_forward_int8_chain(
+    cfg: ResNetConfig,
+    qtree: Pytree,
+    chain_scales: Pytree,
+    x: jax.Array,
+    *,
+    policy: DtypePolicy = BF16,
+    interpret: bool = False,
+) -> jax.Array:
+    """Serving forward with int8 chained megakernels on every stride-1
+    bottleneck run; the remaining ops (stem, pools, downsample blocks, fc)
+    run the bf16 fused path.
+
+    Per stage: ONE quantize+pad entry pass (fuses in XLA), N single-kernel
+    int8 blocks whose activations cross HBM as int8 rows, and the final
+    block emits bf16 rows directly (no dequant pass) before one unpad slice.
+    """
+    from resnetc_tpu.ops.pallas.block import (
+        bottleneck_block_chained_int8, pad_for_chain, unpad_from_chain,
+    )
+    from resnetc_tpu.ops.pallas.quant import quantize_with_scale
+
+    x = x.astype(policy.compute)
+    y = _conv(x, qtree["conv1"], stride=2, relu=True, policy=policy, interpret=interpret)
+    y = max_pool2d(y, kernel_size=3, stride=2, padding=1, interpret=interpret)
+
+    for stage in range(4):
+        blocks = qtree[f"layer{stage + 1}"]
+        sscales = chain_scales.get(f"layer{stage + 1}", {})
+        run = _chain_runs(cfg, blocks, stage)
+        stage_stride = 1 if stage == 0 else 2
+        b = 0
+        while b < cfg.stage_blocks[stage]:
+            blk = blocks[str(b)]
+            s = stage_stride if b == 0 else 1
+            if b in run and "w1q" in blk:
+                # --- int8 chain over the maximal eligible run.
+                bsz, h, w_sp, _ = y.shape
+                s_in = sscales[str(b)]["in"]
+                yr = pad_for_chain(quantize_with_scale(y, s_in))
+                while b in run:
+                    blk = blocks[str(b)]
+                    site = sscales[str(b)]
+                    last = (b + 1) not in run
+                    s_y = (
+                        sscales[str(b + 1)]["in"]
+                        if not last
+                        else jnp.float32(1.0)  # unused: last block emits bf16
+                    )
+                    scale_vec = jnp.stack(
+                        [s_in, site["z1"], site["z2"], s_y]
+                    ).astype(jnp.float32)
+                    yr = bottleneck_block_chained_int8(
+                        yr,
+                        blk["w1q"], blk["sw1"], blk["b1"],
+                        blk["w2pq"], blk["sw2p"], blk["b2"],
+                        blk["w3q"], blk["sw3"], blk["b3"],
+                        scale_vec,
+                        h=h, w_sp=w_sp, emit_i8=not last, interpret=interpret,
+                    )
+                    s_in = s_y
+                    b += 1
+                y = unpad_from_chain(yr, bsz, h, w_sp).astype(policy.compute)
+                continue
+            # --- bf16 fused path for everything else.
+            if "downsample" in blk:
+                short = _conv(
+                    y, blk["downsample"], stride=s, relu=False,
+                    policy=policy, interpret=interpret,
+                )
+            else:
+                short = y
+            if cfg.block == "bottleneck":
+                z = _conv(y, blk["conv1"], stride=1, relu=True, policy=policy, interpret=interpret)
+                z = _conv(z, blk["conv2"], stride=s, relu=True, policy=policy, interpret=interpret)
+                y = _conv(
+                    z, blk["conv3"], stride=1, relu=True, residual=short,
+                    policy=policy, interpret=interpret,
+                )
+            else:
+                z = _conv(y, blk["conv1"], stride=s, relu=True, policy=policy, interpret=interpret)
+                y = _conv(
+                    z, blk["conv2"], stride=1, relu=True, residual=short,
+                    policy=policy, interpret=interpret,
+                )
+            b += 1
+
+    feats = jnp.mean(y.astype(jnp.float32), axis=(1, 2)).astype(policy.compute)
+    logits = matmul(
+        feats,
+        jnp.transpose(qtree["fc"]["weight"]).astype(policy.compute),
+        qtree["fc"]["bias"],
+        out_dtype=policy.output,
+        interpret=interpret,
+    )
+    return logits
+
+
 def _conv_q_static(x, entry, scale_x, *, stride, relu, residual=None, policy, interpret):
     """int8 1x1 conv with a pre-calibrated activation scale (no absmax)."""
     from resnetc_tpu.ops.pallas.quant import int8_matmul, quantize_with_scale

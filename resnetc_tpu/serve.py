@@ -43,19 +43,36 @@ class InferenceEngine:
         policy: DtypePolicy = BF16,
         sharding: Any | None = None,
         backend: str = "xla",
+        calib_batch: jax.Array | None = None,
     ):
         self.model_cfg = model_cfg
         self.policy = policy
-        if backend not in ("xla", "pallas", "pallas_block", "int8"):
-            raise ValueError(
-                "backend must be 'xla', 'pallas', 'pallas_block' or 'int8', "
-                f"got {backend!r}"
-            )
+        backends = ("xla", "pallas", "pallas_block", "int8", "int8_chain")
+        if backend not in backends:
+            raise ValueError(f"backend must be one of {backends}, got {backend!r}")
         folded = resnet.fold_inference_params(model_cfg, variables)
+        self._chain_scales = None
         if backend == "int8":
             from resnetc_tpu.ops.pallas.quant import quantize_folded
 
             folded = quantize_folded(folded)
+        elif backend == "int8_chain":
+            from resnetc_tpu.ops.pallas.fused import (
+                calibrate_chain_scales, quantize_chain,
+            )
+
+            # Static activation scales need a representative batch; without
+            # one, calibrate on unit-normal images (fine for benchmarking —
+            # real deployments pass real data here).
+            if calib_batch is None:
+                calib_batch = jax.random.normal(
+                    jax.random.key(0), (8, 224, 224, 3), jnp.float32
+                )
+            self._chain_scales = jax.tree.map(
+                jnp.asarray,
+                calibrate_chain_scales(model_cfg, folded, calib_batch, policy=policy),
+            )
+            folded = quantize_chain(model_cfg, folded)
         # Pre-cast weights to the compute dtype once, on device — serving
         # never pays the cast again.
         folded = jax.tree.map(lambda a: jnp.asarray(a), folded)
@@ -78,6 +95,13 @@ class InferenceEngine:
 
             def run(folded, x):
                 return fused_forward(cfg, folded, x, policy=policy, block_fusion=True)
+        elif self._backend == "int8_chain":
+            from resnetc_tpu.ops.pallas.fused import fused_forward_int8_chain
+
+            scales = self._chain_scales
+
+            def run(folded, x):
+                return fused_forward_int8_chain(cfg, folded, scales, x, policy=policy)
         else:  # int8
             from resnetc_tpu.ops.pallas.fused import fused_forward_int8
 

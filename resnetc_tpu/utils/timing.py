@@ -27,13 +27,16 @@ import jax.numpy as jnp
 from jax import lax
 
 
-def _build(step_fn: Callable, feedback: Callable, iters: int):
+def _build(step_fn: Callable, feedback: Callable):
     @jax.jit
-    def run(carry):
+    def run(carry, iters):
         def body(_, c):
             out = step_fn(c)
             return feedback(c, out)
 
+        # Dynamic trip count: ONE compiled program serves both the base and
+        # full iteration counts (halves the harness's compile cost; the loop
+        # body lowering is identical either way).
         final = lax.fori_loop(0, iters, body, carry)
         return jnp.sum(
             jax.tree.leaves(final)[0].astype(jnp.float32)
@@ -68,19 +71,20 @@ def chained_seconds_per_iter(
     relative to the step's own traffic or account for it.
     """
     base_iters = max(1, iters // 8)
-    run_base = _build(step_fn, feedback, base_iters)
-    run_full = _build(step_fn, feedback, iters)
+    run = _build(step_fn, feedback)
+    nb = jnp.int32(base_iters)
+    nf = jnp.int32(iters)
 
     for _ in range(warmup_runs):
-        float(run_base(carry0))
-        float(run_full(carry0))
+        float(run(carry0, nb))
+        float(run(carry0, nf))
 
     t0 = time.perf_counter()
-    float(run_base(carry0))
+    float(run(carry0, nb))
     t_base = time.perf_counter() - t0
 
     t0 = time.perf_counter()
-    float(run_full(carry0))
+    float(run(carry0, nf))
     t_full = time.perf_counter() - t0
 
     return max((t_full - t_base) / (iters - base_iters), 1e-9)

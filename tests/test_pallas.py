@@ -153,18 +153,20 @@ def test_bottleneck_block_fused_matches_oracle(rng):
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-4, atol=1e-4)
 
 
-def test_bottleneck_block_chained_matches_oracle(rng):
+@pytest.mark.parametrize("h", [9, 7])
+def test_bottleneck_block_chained_matches_oracle(rng, h):
     """The padded-row chained variant: a 3-block chain (one pad, three
     kernels, one unpad) must equal three oracle blocks — in particular the
     garbage ring rows of intermediate outputs must never leak into the
-    interior (the where-mask NaN-kill property)."""
+    interior (the where-mask NaN-kill property).  h=7 exercises the
+    shared-pad-column layout (wp == w+1, no right pad)."""
     from resnetc_tpu.ops.pallas.block import (
         bottleneck_block_chained,
         pad_for_chain,
         unpad_from_chain,
     )
 
-    b, h, c = 2, 9, 16
+    b, c = 2, 16
     c4 = 4 * c
     x = jnp.asarray(rng.standard_normal((b, h, h, c4), dtype=np.float32))
     w1 = jnp.asarray(rng.standard_normal((c4, c), dtype=np.float32) * 0.1)
@@ -225,3 +227,173 @@ def test_conv_s2_fused_generic_odd_k(rng, k):
     ref = np.asarray(lax_ops.conv2d(x, wt, stride=2, padding=k // 2))
     got = conv_s2_fused(x, wt, interpret=True)
     np.testing.assert_allclose(np.asarray(got), ref, rtol=1e-4, atol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# Int8 chained megakernel (producer-epilogue quantization).
+# ---------------------------------------------------------------------------
+
+
+def _quant_block_reference(x, q, scales):
+    """jnp reference of _chained_kernel_int8's exact math (incl. the
+    multiply-by-reciprocal rounding), written op-by-op over NHWC."""
+    s_x, s_z1, s_z2, s_y = scales
+    b, h, w, c4 = x.shape
+    c = q["w1q"].shape[-1]
+
+    def quant(v, s):
+        return jnp.clip(jnp.round(v * (1.0 / s)), -127.0, 127.0)
+
+    xq = quant(x.astype(jnp.float32), s_x)
+    z1 = jnp.einsum("bhwi,io->bhwo", xq, q["w1q"].astype(jnp.float32))
+    z1 = jnp.maximum(z1 * q["sw1"] * s_x + q["b1"], 0.0)
+    z1q = quant(z1, s_z1)
+
+    z1p = jnp.pad(z1q, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    w2p = q["w2pq"].astype(jnp.float32).reshape(3, c, 3, c)  # (kw,k),(kh,j)
+    sw2 = q["sw2p"].reshape(3, c)  # row kh
+    acc = jnp.zeros((b, h, w, c), jnp.float32)
+    for kh in range(3):
+        ph = jnp.zeros((b, h, w, c), jnp.float32)
+        for kw in range(3):
+            tap = z1p[:, kh : kh + h, kw : kw + w, :]
+            ph = ph + jnp.einsum("bhwk,ko->bhwo", tap, w2p[kw, :, kh, :])
+        acc = acc + ph * sw2[kh]
+    z2 = jnp.maximum(acc * s_z1 + q["b2"], 0.0)
+    z2q = quant(z2, s_z2)
+
+    y = jnp.einsum("bhwk,ko->bhwo", z2q, q["w3q"].astype(jnp.float32))
+    y = y * q["sw3"] * s_z2 + q["b3"] + xq * s_x
+    return jnp.maximum(y, 0.0)
+
+
+@pytest.mark.parametrize("h", [9, 7])
+def test_chained_int8_matches_quant_reference(rng, h):
+    """Kernel (interpret) == the independently-written quantized math, to
+    within one output LSB (reciprocal rounding can differ at .5 boundaries).
+    h=7 exercises the shared-pad-column layout."""
+    from resnetc_tpu.ops.pallas.block import (
+        bottleneck_block_chained_int8,
+        pad_for_chain,
+        quantize_chain_block,
+        unpad_from_chain,
+    )
+
+    b, c = 2, 16
+    c4 = 4 * c
+    x = jnp.asarray(rng.standard_normal((b, h, h, c4), dtype=np.float32))
+    blk = {
+        "conv1": {
+            "weight": jnp.asarray(rng.standard_normal((c4, c), dtype=np.float32) * 0.1),
+            "bias": jnp.asarray(rng.standard_normal((c,), dtype=np.float32) * 0.1),
+        },
+        "conv2": {
+            "weight": jnp.asarray(
+                rng.standard_normal((3, 3, c, c), dtype=np.float32) * 0.1
+            ),
+            "bias": jnp.asarray(rng.standard_normal((c,), dtype=np.float32) * 0.1),
+        },
+        "conv3": {
+            "weight": jnp.asarray(rng.standard_normal((c, c4), dtype=np.float32) * 0.1),
+            "bias": jnp.asarray(rng.standard_normal((c4,), dtype=np.float32) * 0.1),
+        },
+    }
+    q = quantize_chain_block(blk)
+    scales = jnp.asarray([4.0 / 127, 3.0 / 127, 5.0 / 127, 1.0], jnp.float32)
+
+    ref = _quant_block_reference(x, q, scales)
+    from resnetc_tpu.ops.pallas.quant import quantize_with_scale
+
+    xr = pad_for_chain(quantize_with_scale(x, scales[0]))
+    yr = bottleneck_block_chained_int8(
+        xr,
+        q["w1q"], q["sw1"], q["b1"],
+        q["w2pq"], q["sw2p"], q["b2"],
+        q["w3q"], q["sw3"], q["b3"],
+        scales,
+        h=h, w_sp=h, emit_i8=False, interpret=True,
+    )
+    got = unpad_from_chain(yr, b, h, h)
+    # bf16 output quantizes the fp32 epilogue value: compare at bf16 grain.
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32),
+        np.asarray(ref.astype(jnp.bfloat16), np.float32),
+        rtol=2e-2, atol=2e-2,
+    )
+
+
+def test_chained_int8_emit_i8_roundtrip(rng):
+    """emit_i8=True output dequantized with s_y equals the bf16-emitting
+    variant to within one LSB of s_y (the producer-epilogue contract)."""
+    from resnetc_tpu.ops.pallas.block import (
+        bottleneck_block_chained_int8,
+        pad_for_chain,
+        quantize_chain_block,
+    )
+    from resnetc_tpu.ops.pallas.quant import quantize_with_scale
+
+    b, h, c = 1, 8, 8
+    c4 = 4 * c
+    x = jnp.asarray(rng.standard_normal((b, h, h, c4), dtype=np.float32))
+    blk = {
+        "conv1": {
+            "weight": jnp.asarray(rng.standard_normal((c4, c), dtype=np.float32) * 0.1),
+            "bias": jnp.zeros((c,), jnp.float32),
+        },
+        "conv2": {
+            "weight": jnp.asarray(
+                rng.standard_normal((3, 3, c, c), dtype=np.float32) * 0.1
+            ),
+            "bias": jnp.zeros((c,), jnp.float32),
+        },
+        "conv3": {
+            "weight": jnp.asarray(rng.standard_normal((c, c4), dtype=np.float32) * 0.1),
+            "bias": jnp.zeros((c4,), jnp.float32),
+        },
+    }
+    q = quantize_chain_block(blk)
+    s_y = jnp.float32(6.0 / 127)
+    scales = jnp.asarray([4.0 / 127, 3.0 / 127, 5.0 / 127, s_y], jnp.float32)
+    xr = pad_for_chain(quantize_with_scale(x, scales[0]))
+
+    args = (
+        q["w1q"], q["sw1"], q["b1"], q["w2pq"], q["sw2p"], q["b2"],
+        q["w3q"], q["sw3"], q["b3"], scales,
+    )
+    y_i8 = bottleneck_block_chained_int8(
+        xr, *args, h=h, w_sp=h, emit_i8=True, interpret=True
+    )
+    y_bf = bottleneck_block_chained_int8(
+        xr, *args, h=h, w_sp=h, emit_i8=False, interpret=True
+    )
+    assert y_i8.dtype == jnp.int8
+    hp, wp = h + 2, 16
+    interior = np.asarray(y_bf, np.float32).reshape(b, hp, wp, c4)[:, 1:-1, 1 : 1 + h]
+    deq = np.asarray(y_i8, np.float32).reshape(b, hp, wp, c4)[:, 1:-1, 1 : 1 + h] * float(s_y)
+    np.testing.assert_allclose(deq, np.clip(interior, 0, 127 * float(s_y)), atol=1.1 * float(s_y))
+
+
+def test_fused_forward_int8_chain_close_to_fp(rng):
+    """End-to-end int8 chained serving stays close to the fp folded path on
+    a small random model (the real-weights accuracy gate runs when a
+    checkpoint is available; see test_acceptance)."""
+    from resnetc_tpu.ops.pallas.fused import (
+        calibrate_chain_scales,
+        fused_forward_int8_chain,
+        quantize_chain,
+    )
+
+    cfg = resnet.get_config("resnet50", num_classes=11)
+    variables = resnet.init(cfg, jax.random.key(3))
+    folded = resnet.fold_inference_params(cfg, variables)
+    x = jnp.asarray(rng.standard_normal((2, 64, 64, 3), dtype=np.float32))
+
+    ref = np.asarray(resnet.forward_folded(cfg, folded, x), np.float32)
+    scales = calibrate_chain_scales(cfg, folded, x)
+    qtree = quantize_chain(cfg, folded)
+    got = np.asarray(
+        fused_forward_int8_chain(cfg, qtree, scales, x, interpret=True), np.float32
+    )
+    rel_mae = np.mean(np.abs(got - ref)) / np.mean(np.abs(ref))
+    assert rel_mae < 0.08, rel_mae
+    assert (got.argmax(-1) == ref.argmax(-1)).mean() >= 0.5

@@ -108,6 +108,42 @@ def run_variant(variant: str, args_tuple, *, bt=None, chain=1):
                 )
             return unpad_from_chain(xr, b, h, w_sp)
         return fn
+    if variant == "chained_i8":
+        import jax.numpy as jnp
+
+        from resnetc_tpu.ops.pallas.block import (
+            bottleneck_block_chained_int8,
+            pad_for_chain,
+            quantize_chain_block,
+            unpad_from_chain,
+        )
+        from resnetc_tpu.ops.pallas.quant import quantize_with_scale
+
+        b, h, w_sp, _ = x.shape
+        q = quantize_chain_block(
+            {
+                "conv1": {"weight": w1, "bias": b1},
+                "conv2": {"weight": w2, "bias": b2},
+                "conv3": {"weight": w3, "bias": b3},
+            }
+        )
+        # Representative static scales (random-normal activations).
+        s = jnp.float32(4.0 / 127.0)
+        scale_vec = jnp.stack([s, s, s, s])
+
+        def fn(xx):
+            xr = pad_for_chain(quantize_with_scale(xx, s))
+            for i in range(chain):
+                xr = bottleneck_block_chained_int8(
+                    xr,
+                    q["w1q"], q["sw1"], q["b1"],
+                    q["w2pq"], q["sw2p"], q["b2"],
+                    q["w3q"], q["sw3"], q["b3"],
+                    scale_vec,
+                    h=h, w_sp=w_sp, emit_i8=(i + 1 < chain), bt=bt,
+                )
+            return unpad_from_chain(xr, b, h, w_sp)
+        return fn
     raise SystemExit(f"unknown variant {variant}")
 
 
