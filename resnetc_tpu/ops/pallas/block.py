@@ -335,6 +335,7 @@ def _chained_kernel_int8(
     sw1_ref, sw2p_ref, sw3_ref, s_ref,
     o_ref, z1_ref,
     *, bt, hp, wp, c, c4, emit_i8,
+    wd_ref=None, swd_ref=None, bd_ref=None,
 ):
     """Int8 twin of _chained_kernel.
 
@@ -406,7 +407,21 @@ def _chained_kernel_int8(
         )
         y = y.astype(jnp.float32) * sw3_ref[:].astype(jnp.float32) * s_z2
         y = y + b3_ref[:].astype(jnp.float32)
-        y = y + x_ref[lo : lo + chunk, :].astype(jnp.float32) * s_x
+        if wd_ref is None:
+            y = y + x_ref[lo : lo + chunk, :].astype(jnp.float32) * s_x
+        else:
+            # Projection shortcut (layer1 block0): the residual is a 1x1
+            # conv of x (cin -> 4c) instead of x itself — one more int8 dot
+            # in the same epilogue, x still read once.
+            sc = jax.lax.dot_general(
+                x_ref[lo : lo + chunk, :], wd_ref[:],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )
+            y = y + (
+                sc.astype(jnp.float32) * swd_ref[:].astype(jnp.float32) * s_x
+                + bd_ref[:].astype(jnp.float32)
+            )
         y = jnp.maximum(y, 0.0)
         if emit_i8:
             o_ref[lo : lo + chunk, :] = jnp.clip(
@@ -450,22 +465,33 @@ def bottleneck_block_chained_int8(
     emit_i8: bool = True,
     bt: int | None = None,
     interpret: bool = False,
+    wdq: jax.Array | None = None,
+    swd: jax.Array | None = None,
+    bd: jax.Array | None = None,
 ) -> jax.Array:
     """Int8 stride-1 bottleneck block over the chained padded-row layout.
 
-    xq: (B*Hp*Wp, 4c) int8 rows at scale scales[0]; w1q (4c,c) / w3q (c,4c)
+    xq: (B*Hp*Wp, cin) int8 rows at scale scales[0]; w1q (cin,c) / w3q (c,4c)
     int8 with per-column scales sw1/sw3; w2pq (3c,3c) the kh-batched packed
     3x3 (see quantize_chain_block) with per-column scales sw2p; biases f32.
     scales: (4,) f32 = [s_x, s_z1, s_z2, s_y].  Output is the same padded-row
     layout, int8 at scale s_y when emit_i8 else o_dtype=bf16 (chain exit).
+
+    With wdq/swd/bd (a per-output-channel-quantized 1x1, (cin, 4c)) the
+    residual is the PROJECTION shortcut conv instead of identity — the
+    stride-1 downsample block (ResNet-50 layer1 block 0), still one kernel
+    and one read of x.  cin == 4c is required for the identity form only.
     """
     c = w1q.shape[-1]
-    c4 = w1q.shape[0]
+    cin = w1q.shape[0]
+    c4 = w3q.shape[-1]
+    has_ds = wdq is not None
+    assert has_ds or cin == c4, (cin, c4)
     hp, wp = chain_meta(0, h, w_sp)
-    total_rows, c4_in = xq.shape
+    total_rows, cin_in = xq.shape
     b = total_rows // (hp * wp)
-    assert b * hp * wp == total_rows and c4_in == c4, (xq.shape, (b, hp, wp, c4))
-    bt = bt or _pick_bt_chain_int8(b, hp, wp, c, c4)
+    assert b * hp * wp == total_rows and cin_in == cin, (xq.shape, (b, hp, wp, cin))
+    bt = bt or _pick_bt_chain_int8(b, hp, wp, c, max(cin, c4))
 
     row_ids = jax.lax.broadcasted_iota(jnp.int32, (hp * wp, 1), 0)
     r, cc = row_ids // wp, row_ids % wp
@@ -473,26 +499,52 @@ def bottleneck_block_chained_int8(
 
     rows = bt * hp * wp
     out_dtype = jnp.int8 if emit_i8 else jnp.bfloat16
+
+    in_specs = [
+        pl.BlockSpec((rows, cin), lambda i: (i, 0)),
+        pl.BlockSpec((cin, c), lambda i: (0, 0)),
+        pl.BlockSpec((1, c), lambda i: (0, 0)),
+        pl.BlockSpec((3 * c, 3 * c), lambda i: (0, 0)),
+        pl.BlockSpec((1, c), lambda i: (0, 0)),
+        pl.BlockSpec((c, c4), lambda i: (0, 0)),
+        pl.BlockSpec((1, c4), lambda i: (0, 0)),
+        pl.BlockSpec((hp * wp, 1), lambda i: (0, 0)),
+        pl.BlockSpec((1, c), lambda i: (0, 0)),
+        pl.BlockSpec((3, c), lambda i: (0, 0)),
+        pl.BlockSpec((1, c4), lambda i: (0, 0)),
+    ]
+    operands = [
+        xq, w1q, b1[None, :], w2pq, b2[None, :], w3q, b3[None, :], mask,
+        sw1[None, :], sw2p.reshape(3, c), sw3[None, :],
+    ]
+    if has_ds:
+        in_specs += [
+            pl.BlockSpec((cin, c4), lambda i: (0, 0)),
+            pl.BlockSpec((1, c4), lambda i: (0, 0)),
+            pl.BlockSpec((1, c4), lambda i: (0, 0)),
+        ]
+        operands += [wdq, swd[None, :], bd[None, :]]
+    in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+    operands.append(scales)
+
+    def kernel(*refs):
+        if has_ds:
+            (x, w1, b1_, w2p, b2_, w3, b3_, msk, s1, s2p, s3,
+             wd, sd, bd_, s, o, z1) = refs
+        else:
+            (x, w1, b1_, w2p, b2_, w3, b3_, msk, s1, s2p, s3,
+             s, o, z1) = refs
+            wd = sd = bd_ = None
+        _chained_kernel_int8(
+            x, w1, b1_, w2p, b2_, w3, b3_, msk, s1, s2p, s3, s, o, z1,
+            bt=bt, hp=hp, wp=wp, c=c, c4=c4, emit_i8=emit_i8,
+            wd_ref=wd, swd_ref=sd, bd_ref=bd_,
+        )
+
     return pl.pallas_call(
-        functools.partial(
-            _chained_kernel_int8, bt=bt, hp=hp, wp=wp, c=c, c4=c4,
-            emit_i8=emit_i8,
-        ),
+        kernel,
         grid=(b // bt,),
-        in_specs=[
-            pl.BlockSpec((rows, c4), lambda i: (i, 0)),
-            pl.BlockSpec((c4, c), lambda i: (0, 0)),
-            pl.BlockSpec((1, c), lambda i: (0, 0)),
-            pl.BlockSpec((3 * c, 3 * c), lambda i: (0, 0)),
-            pl.BlockSpec((1, c), lambda i: (0, 0)),
-            pl.BlockSpec((c, c4), lambda i: (0, 0)),
-            pl.BlockSpec((1, c4), lambda i: (0, 0)),
-            pl.BlockSpec((hp * wp, 1), lambda i: (0, 0)),
-            pl.BlockSpec((1, c), lambda i: (0, 0)),
-            pl.BlockSpec((3, c), lambda i: (0, 0)),
-            pl.BlockSpec((1, c4), lambda i: (0, 0)),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((rows, c4), lambda i: (i, 0)),
         out_shape=jax.ShapeDtypeStruct((b * hp * wp, c4), out_dtype),
         scratch_shapes=[
@@ -502,16 +554,270 @@ def bottleneck_block_chained_int8(
             dimension_semantics=("parallel",),
         ),
         cost_estimate=pl.CostEstimate(
-            flops=2 * b * hp * wp * (c4 * c + 9 * c * c + c * c4),
-            bytes_accessed=2 * (b * hp * wp * c4)
-            + (c4 * c + 9 * c * c + c * c4),
+            flops=2 * b * hp * wp
+            * (cin * c + 9 * c * c + c * c4 + (cin * c4 if has_ds else 0)),
+            bytes_accessed=b * hp * wp * (cin + c4)
+            + (cin * c + 9 * c * c + c * c4),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(*operands)
+
+
+# ---------------------------------------------------------------------------
+# Stride-2 downsample-block megakernel (int8): block 0 of layers 2-4 in one
+# kernel — conv1x1 at full res, 3x3/2 via phase planes, conv1x1 + projection
+# shortcut at half res — x read once (as four int8 phase planes), y written
+# once, directly in the CHAIN layout so the following stride-1 chain needs no
+# entry pad.  Reference capability: main.cu:48-82 (ResnetBlock with
+# downsample); the decomposition is the phase-plane trick of conv_s2_fused
+# applied inside a block-level kernel.
+# ---------------------------------------------------------------------------
+
+
+def _ds_block_s2_kernel(
+    pl_ref, w1_ref, b1_ref, w2_ref, b2_ref, w3_ref, b3_ref,
+    wd_ref, bd_ref, mask_ref,
+    sw1_ref, sw2_ref, sw3_ref, swd_ref, s_ref,
+    o_ref, z1p_ref,
+    *, bt, hq, wq, c, c4, emit_i8,
+):
+    """pl_ref: (4, rows, cin) int8 phase planes of the padded input
+    (plane (ph,pw)[i,j] = x_pad[2i+ph, 2j+pw], x_pad = x zero-padded by 1
+    top/left); hq/wq EQUAL the output chain layout's (hp, wp) so output row
+    u of the compact conv2 indexing maps to chain row u + wq + 1 — the whole
+    epilogue lands in ONE shifted store per chunk.
+
+    s_ref (SMEM, (4,)): [s_x, s_z1, s_z2, s_y].  conv2's weight scales are
+    joint per output channel (sw2, (1, c)) so the nine tap dots accumulate
+    in int32 before a single dequant.
+    """
+    rows = bt * hq * wq
+    m = rows - 2 * wq  # tap slices reach off + m <= rows (max off = wq + 1)
+    s_x, s_z1, s_z2, s_y = s_ref[0], s_ref[1], s_ref[2], s_ref[3]
+
+    # --- conv1 (1x1, cin -> c) on each phase plane, masked + requantized.
+    for p in range(4):
+        zp = jax.lax.dot_general(
+            pl_ref[p], w1_ref[:],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        zp = zp.astype(jnp.float32) * sw1_ref[:].astype(jnp.float32) * s_x
+        zp = jnp.maximum(zp + b1_ref[:].astype(jnp.float32), 0.0)
+        zp = jnp.where(
+            mask_ref[p].reshape(1, hq * wq, 1) > 0,
+            zp.reshape(bt, hq * wq, c),
+            0.0,
+        )
+        z1p_ref[p] = jnp.clip(
+            jnp.round(zp.reshape(rows, c) * (1.0 / s_z1)), -127.0, 127.0
+        ).astype(jnp.int8)
+
+    # --- conv2 (3x3 stride 2): nine tap dots over the phase planes,
+    # int32-accumulated (joint per-j scales), one dequant.
+    acc = None
+    for u in range(3):
+        for v in range(3):
+            phase = (u % 2) * 2 + (v % 2)
+            off = (u // 2) * wq + (v // 2)
+            contrib = jax.lax.dot_general(
+                z1p_ref[phase, off : off + m, :], w2_ref[u, v],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )
+            acc = contrib if acc is None else acc + contrib
+    z2 = acc.astype(jnp.float32) * sw2_ref[:].astype(jnp.float32) * s_z1
+    z2 = jnp.maximum(z2 + b2_ref[:].astype(jnp.float32), 0.0)
+    z2 = jnp.clip(jnp.round(z2 * (1.0 / s_z2)), -127.0, 127.0).astype(jnp.int8)
+
+    # --- conv3 (1x1, c -> 4c) + projection shortcut + ReLU; shifted store
+    # into the chain layout (row u -> chain row u + wq + 1; ring rows stay
+    # garbage).  The stride-2 1x1 shortcut reads x[2r2, 2c2] = x_pad[2r2+1,
+    # 2c2+1] = plane (1,1) — available as pl_ref[3] at the SAME row index u.
+    chunk = m
+    while chunk > 1024 and chunk % 2 == 0:
+        chunk //= 2
+    for lo in range(0, m, chunk):
+        n = min(chunk, m - lo)
+        y = jax.lax.dot_general(
+            jax.lax.slice_in_dim(z2, lo, lo + n, axis=0), w3_ref[:],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        y = y.astype(jnp.float32) * sw3_ref[:].astype(jnp.float32) * s_z2
+        y = y + b3_ref[:].astype(jnp.float32)
+        sc = jax.lax.dot_general(
+            pl_ref[3, lo : lo + n, :], wd_ref[:],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        y = y + (
+            sc.astype(jnp.float32) * swd_ref[:].astype(jnp.float32) * s_x
+            + bd_ref[:].astype(jnp.float32)
+        )
+        y = jnp.maximum(y, 0.0)
+        if emit_i8:
+            o_ref[wq + 1 + lo : wq + 1 + lo + n, :] = jnp.clip(
+                jnp.round(y * (1.0 / s_y)), -127.0, 127.0
+            ).astype(jnp.int8)
+        else:
+            o_ref[wq + 1 + lo : wq + 1 + lo + n, :] = y.astype(o_ref.dtype)
+
+
+def _pick_bt_ds_s2(b: int, hq: int, wq: int, cin: int, c: int, c4: int) -> int:
+    """Largest divisor of B whose s2 ds-block working set fits VMEM budget."""
+    budget = 9 * 2**20
+    weights = cin * c + 9 * c * c + c * c4 + cin * c4
+    best = 1
+    for bt in range(1, b + 1):
+        if b % bt:
+            continue
+        rows = bt * hq * wq
+        work = (
+            4 * rows * cin * 1     # phase planes (int8)
+            + 4 * rows * c * 1     # z1 planes (int8)
+            + rows * c * 4         # conv2 int32 accumulator
+            + rows * c4 * 1        # output block
+            + weights
+        )
+        if work > budget:
+            break
+        best = bt
+    return best
+
+
+@functools.partial(
+    jax.jit, static_argnames=("h", "w_sp", "emit_i8", "bt", "interpret")
+)
+def downsample_block_s2_int8(
+    xq: jax.Array,
+    w1q: jax.Array, sw1: jax.Array, b1: jax.Array,
+    w2q: jax.Array, sw2: jax.Array, b2: jax.Array,
+    w3q: jax.Array, sw3: jax.Array, b3: jax.Array,
+    wdq: jax.Array, swd: jax.Array, bd: jax.Array,
+    scales: jax.Array,
+    *,
+    h: int, w_sp: int,
+    emit_i8: bool = True,
+    bt: int | None = None,
+    interpret: bool = False,
+) -> jax.Array:
+    """Whole stride-2 bottleneck downsample block, one kernel.
+
+    xq: (B, H, W, cin) int8 NHWC at scale scales[0] (the producer chain's
+    emitted int8).  Weights per quantize_ds_block.  Output: (B*Hp2*Wp2, 4c)
+    rows in the CHAIN layout of the (H/2, W/2) stage — feed it directly to
+    bottleneck_block_chained_int8 (no pad pass).  scales = [s_x, s_z1,
+    s_z2, s_y].
+    """
+    b, hh, ww, cin = xq.shape
+    assert (hh, ww) == (h, w_sp), (xq.shape, h, w_sp)
+    c = w1q.shape[-1]
+    c4 = w3q.shape[-1]
+    oh, ow = (h + 1) // 2, (w_sp + 1) // 2
+    hp2, wp2 = chain_meta(0, oh, ow)
+    hq, wq = hp2, wp2  # plane geometry == output chain geometry (see kernel)
+    bt = bt or _pick_bt_ds_s2(b, hq, wq, cin, c, c4)
+
+    # Phase planes of x zero-padded by 1 top/left (conv pad): plane
+    # (ph,pw)[i,j] = x_pad[2i+ph, 2j+pw].  One XLA gather, int8 in/out.
+    x_pad = jnp.pad(
+        xq, ((0, 0), (1, 2 * hq - 1 - h), (1, 2 * wq - 1 - w_sp), (0, 0))
+    )
+    planes = jnp.stack(
+        [x_pad[:, ph::2, pw::2, :] for ph in range(2) for pw in range(2)]
+    ).reshape(4, b * hq * wq, cin)
+
+    # Per-plane interior masks: plane position (i, j) is a real x pixel iff
+    # 0 <= 2i+ph-1 < h and 0 <= 2j+pw-1 < w.
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (hq * wq, 1), 0)
+    i, j = row_ids // wq, row_ids % wq
+    masks = jnp.stack(
+        [
+            (
+                (2 * i + ph - 1 >= 0) & (2 * i + ph - 1 < h)
+                & (2 * j + pw - 1 >= 0) & (2 * j + pw - 1 < w_sp)
+            ).astype(jnp.float32)
+            for ph in range(2)
+            for pw in range(2)
+        ]
+    )
+
+    rows = bt * hq * wq
+    out_dtype = jnp.int8 if emit_i8 else jnp.bfloat16
+    return pl.pallas_call(
+        functools.partial(
+            _ds_block_s2_kernel,
+            bt=bt, hq=hq, wq=wq, c=c, c4=c4, emit_i8=emit_i8,
+        ),
+        grid=(b // bt,),
+        in_specs=[
+            pl.BlockSpec((4, rows, cin), lambda i: (0, i, 0)),
+            pl.BlockSpec((cin, c), lambda i: (0, 0)),
+            pl.BlockSpec((1, c), lambda i: (0, 0)),
+            pl.BlockSpec((3, 3, c, c), lambda i: (0, 0, 0, 0)),
+            pl.BlockSpec((1, c), lambda i: (0, 0)),
+            pl.BlockSpec((c, c4), lambda i: (0, 0)),
+            pl.BlockSpec((1, c4), lambda i: (0, 0)),
+            pl.BlockSpec((cin, c4), lambda i: (0, 0)),
+            pl.BlockSpec((1, c4), lambda i: (0, 0)),
+            pl.BlockSpec((4, hq * wq, 1), lambda i: (0, 0, 0)),
+            pl.BlockSpec((1, c), lambda i: (0, 0)),
+            pl.BlockSpec((1, c), lambda i: (0, 0)),
+            pl.BlockSpec((1, c4), lambda i: (0, 0)),
+            pl.BlockSpec((1, c4), lambda i: (0, 0)),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((rows, c4), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((b * hq * wq, c4), out_dtype),
+        scratch_shapes=[
+            pltpu.VMEM((4, rows, c), jnp.int8),  # z1 phase planes
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * hq * wq * (cin * c + 9 * c * c + c * c4 + cin * c4),
+            bytes_accessed=b * hq * wq * (4 * cin + c4),
             transcendentals=0,
         ),
         interpret=interpret,
     )(
-        xq, w1q, b1[None, :], w2pq, b2[None, :], w3q, b3[None, :], mask,
-        sw1[None, :], sw2p.reshape(3, c), sw3[None, :], scales,
+        planes, w1q, b1[None, :], w2q, b2[None, :], w3q, b3[None, :],
+        wdq, bd[None, :], masks,
+        sw1[None, :], sw2[None, :], sw3[None, :], swd[None, :], scales,
     )
+
+
+def quantize_ds_block(blk: dict) -> dict:
+    """Quantize one BN-folded downsample bottleneck block for the s2 (or s1)
+    downsample megakernels: conv1/conv3/downsample per-output-channel; conv2
+    with JOINT per-output-channel scales across all nine taps (the s2 kernel
+    accumulates the taps in int32 before one dequant)."""
+    from resnetc_tpu.ops.pallas.quant import quantize_per_channel
+
+    w1 = blk["conv1"]["weight"]
+    w2 = blk["conv2"]["weight"]
+    w3 = blk["conv3"]["weight"]
+    wd = blk["downsample"]["weight"]
+    if w1.ndim == 4:
+        w1 = w1[0, 0]
+    if w3.ndim == 4:
+        w3 = w3[0, 0]
+    if wd.ndim == 4:
+        wd = wd[0, 0]
+    c = w1.shape[-1]
+    w2q_flat, sw2 = quantize_per_channel(w2.reshape(9 * c, c))
+    w1q, sw1 = quantize_per_channel(w1)
+    w3q, sw3 = quantize_per_channel(w3)
+    wdq, swd = quantize_per_channel(wd)
+    return {
+        "w1q": w1q, "sw1": sw1, "b1": blk["conv1"]["bias"],
+        "w2q": w2q_flat.reshape(3, 3, c, c), "sw2": sw2, "b2": blk["conv2"]["bias"],
+        "w3q": w3q, "sw3": sw3, "b3": blk["conv3"]["bias"],
+        "wdq": wdq, "swd": swd, "bd": blk["downsample"]["bias"],
+    }
 
 
 def quantize_chain_block(blk: dict) -> dict:

@@ -298,19 +298,6 @@ def calibrate_activation_scales(
 # ---------------------------------------------------------------------------
 
 
-def _chain_runs(cfg: ResNetConfig, blocks: Pytree, stage: int):
-    """Indices of the maximal run of chain-eligible blocks in one stage
-    (stride-1 bottleneck blocks without a downsample — contiguous by
-    construction in ResNet: only block 0 of a stage ever downsamples)."""
-    run = []
-    stage_stride = 1 if stage == 0 else 2
-    for b in range(cfg.stage_blocks[stage]):
-        s = stage_stride if b == 0 else 1
-        if s == 1 and "downsample" not in blocks[str(b)]:
-            run.append(b)
-    return run
-
-
 def calibrate_chain_scales(
     cfg: ResNetConfig,
     folded: Pytree,
@@ -318,13 +305,14 @@ def calibrate_chain_scales(
     *,
     policy: DtypePolicy = BF16,
 ) -> Pytree:
-    """Static activation scales for the int8 chained kernel.
+    """Static activation scales for the int8 block megakernels.
 
     Runs the fp folded forward over a representative batch and records
-    absmax/127 for, at every chain-eligible block: the block INPUT ("in"),
-    conv1's post-ReLU output ("z1") and conv2's post-ReLU output ("z2").
+    absmax/127 at EVERY bottleneck block: the block INPUT ("in"), conv1's
+    post-ReLU output ("z1") and conv2's post-ReLU output ("z2").
     Consecutive blocks share boundaries (block k's output scale IS block
-    k+1's "in"), so the kernel's s_y comes from the next block's record.
+    k+1's "in" — across stage boundaries too), so the kernels' s_y always
+    comes from the next block's record.
     """
     scales: dict = {}
 
@@ -344,7 +332,6 @@ def calibrate_chain_scales(
 
     for stage in range(4):
         blocks = folded[f"layer{stage + 1}"]
-        run = set(_chain_runs(cfg, blocks, stage))
         stage_stride = 1 if stage == 0 else 2
         layer_scales: dict = {}
         for b in range(cfg.stage_blocks[stage]):
@@ -358,10 +345,9 @@ def calibrate_chain_scales(
             if cfg.block == "bottleneck":
                 z1 = conv(y, blk["conv1"], stride=1, relu=True)
                 z2 = conv(z1, blk["conv2"], stride=s, relu=True)
-                if b in run:
-                    layer_scales[str(b)] = {
-                        "in": s_of(y), "z1": s_of(z1), "z2": s_of(z2),
-                    }
+                layer_scales[str(b)] = {
+                    "in": s_of(y), "z1": s_of(z1), "z2": s_of(z2),
+                }
                 y = lax_ops.relu(conv(z2, blk["conv3"], stride=1, relu=False) + short)
             else:
                 z = conv(y, blk["conv1"], stride=s, relu=True)
@@ -372,20 +358,33 @@ def calibrate_chain_scales(
 
 
 def quantize_chain(cfg: ResNetConfig, folded: Pytree) -> Pytree:
-    """Quantize every chain-eligible block for the int8 chained megakernel;
-    everything else keeps its folded fp entries (served bf16)."""
-    from resnetc_tpu.ops.pallas.block import quantize_chain_block
+    """Quantize every bottleneck block for the int8 megakernels: stride-1
+    blocks (incl. layer1's projection block) for the chained kernel, stride-2
+    downsample blocks for the s2 phase-plane kernel; everything else keeps
+    its folded fp entries (served bf16)."""
+    from resnetc_tpu.ops.pallas.block import quantize_chain_block, quantize_ds_block
 
     out = {k: v for k, v in folded.items() if not k.startswith("layer")}
     for stage in range(4):
         blocks = folded[f"layer{stage + 1}"]
-        run = set(_chain_runs(cfg, blocks, stage))
+        stage_stride = 1 if stage == 0 else 2
         qblocks = {}
         for b_str, blk in blocks.items():
-            if int(b_str) in run and cfg.block == "bottleneck":
-                qblocks[b_str] = quantize_chain_block(blk)
-            else:
+            if cfg.block != "bottleneck":
                 qblocks[b_str] = blk
+            elif b_str == "0" and stage_stride == 2:
+                qblocks[b_str] = quantize_ds_block(blk)
+            else:
+                q = quantize_chain_block(blk)
+                if "downsample" in blk:  # layer1 block 0: stride-1 projection
+                    from resnetc_tpu.ops.pallas.quant import quantize_per_channel
+
+                    wd = blk["downsample"]["weight"]
+                    if wd.ndim == 4:
+                        wd = wd[0, 0]
+                    q["wdq"], q["swd"] = quantize_per_channel(wd)
+                    q["bd"] = blk["downsample"]["bias"]
+                qblocks[b_str] = q
         out[f"layer{stage + 1}"] = qblocks
     return out
 
@@ -399,16 +398,21 @@ def fused_forward_int8_chain(
     policy: DtypePolicy = BF16,
     interpret: bool = False,
 ) -> jax.Array:
-    """Serving forward with int8 chained megakernels on every stride-1
-    bottleneck run; the remaining ops (stem, pools, downsample blocks, fc)
-    run the bf16 fused path.
+    """Serving forward with every bottleneck block as ONE int8 megakernel.
 
-    Per stage: ONE quantize+pad entry pass (fuses in XLA), N single-kernel
-    int8 blocks whose activations cross HBM as int8 rows, and the final
-    block emits bf16 rows directly (no dequant pass) before one unpad slice.
+    After the bf16 stem + maxpool there is a single quantize+pad pass; from
+    there to the head, activations cross HBM exclusively as int8 — stride-1
+    blocks via bottleneck_block_chained_int8 (layer1's projection block
+    included), stage transitions via downsample_block_s2_int8 (which reads
+    the previous stage's int8 output as phase planes and emits the new
+    stage's chain layout directly).  The very last block emits bf16 rows for
+    the head.  Falls back to the bf16 fused path for non-bottleneck configs.
     """
     from resnetc_tpu.ops.pallas.block import (
-        bottleneck_block_chained_int8, pad_for_chain, unpad_from_chain,
+        bottleneck_block_chained_int8,
+        downsample_block_s2_int8,
+        pad_for_chain,
+        unpad_from_chain,
     )
     from resnetc_tpu.ops.pallas.quant import quantize_with_scale
 
@@ -416,67 +420,64 @@ def fused_forward_int8_chain(
     y = _conv(x, qtree["conv1"], stride=2, relu=True, policy=policy, interpret=interpret)
     y = max_pool2d(y, kernel_size=3, stride=2, padding=1, interpret=interpret)
 
+    if cfg.block != "bottleneck":
+        return fused_forward(cfg, qtree, x, policy=policy, interpret=interpret)
+
+    def site(stage, b):
+        return chain_scales[f"layer{stage + 1}"][str(b)]
+
+    def s_after(stage, b):
+        """Scale of block (stage, b)'s output = next block's 'in' (None at
+        the network tail: the last block emits bf16)."""
+        if b + 1 < cfg.stage_blocks[stage]:
+            return site(stage, b + 1)["in"]
+        if stage + 1 < 4:
+            return site(stage + 1, 0)["in"]
+        return None
+
+    # One quantize+pad entry pass; everything after is int8 in HBM.
+    bsz, h, w_sp, _ = y.shape
+    yr = pad_for_chain(quantize_with_scale(y, site(0, 0)["in"]))
+
     for stage in range(4):
         blocks = qtree[f"layer{stage + 1}"]
-        sscales = chain_scales.get(f"layer{stage + 1}", {})
-        run = _chain_runs(cfg, blocks, stage)
-        stage_stride = 1 if stage == 0 else 2
-        b = 0
-        while b < cfg.stage_blocks[stage]:
+        for b in range(cfg.stage_blocks[stage]):
             blk = blocks[str(b)]
-            s = stage_stride if b == 0 else 1
-            if b in run and "w1q" in blk:
-                # --- int8 chain over the maximal eligible run.
-                bsz, h, w_sp, _ = y.shape
-                s_in = sscales[str(b)]["in"]
-                yr = pad_for_chain(quantize_with_scale(y, s_in))
-                while b in run:
-                    blk = blocks[str(b)]
-                    site = sscales[str(b)]
-                    last = (b + 1) not in run
-                    s_y = (
-                        sscales[str(b + 1)]["in"]
-                        if not last
-                        else jnp.float32(1.0)  # unused: last block emits bf16
-                    )
-                    scale_vec = jnp.stack(
-                        [s_in, site["z1"], site["z2"], s_y]
-                    ).astype(jnp.float32)
-                    yr = bottleneck_block_chained_int8(
-                        yr,
-                        blk["w1q"], blk["sw1"], blk["b1"],
-                        blk["w2pq"], blk["sw2p"], blk["b2"],
-                        blk["w3q"], blk["sw3"], blk["b3"],
-                        scale_vec,
-                        h=h, w_sp=w_sp, emit_i8=not last, interpret=interpret,
-                    )
-                    s_in = s_y
-                    b += 1
-                y = unpad_from_chain(yr, bsz, h, w_sp).astype(policy.compute)
-                continue
-            # --- bf16 fused path for everything else.
-            if "downsample" in blk:
-                short = _conv(
-                    y, blk["downsample"], stride=s, relu=False,
-                    policy=policy, interpret=interpret,
+            st = site(stage, b)
+            s_y = s_after(stage, b)
+            last = s_y is None
+            scale_vec = jnp.stack(
+                [st["in"], st["z1"], st["z2"],
+                 s_y if s_y is not None else jnp.float32(1.0)]
+            ).astype(jnp.float32)
+            if b == 0 and stage > 0:
+                # Stage transition: previous chain emitted int8 rows; unpad
+                # (int8 slice) and run the stride-2 phase-plane megakernel,
+                # which emits this stage's chain layout directly.
+                xq = unpad_from_chain(yr, bsz, h, w_sp)
+                h, w_sp = (h + 1) // 2, (w_sp + 1) // 2
+                yr = downsample_block_s2_int8(
+                    xq,
+                    blk["w1q"], blk["sw1"], blk["b1"],
+                    blk["w2q"], blk["sw2"], blk["b2"],
+                    blk["w3q"], blk["sw3"], blk["b3"],
+                    blk["wdq"], blk["swd"], blk["bd"],
+                    scale_vec,
+                    h=h * 2, w_sp=w_sp * 2, emit_i8=not last,
+                    interpret=interpret,
                 )
             else:
-                short = y
-            if cfg.block == "bottleneck":
-                z = _conv(y, blk["conv1"], stride=1, relu=True, policy=policy, interpret=interpret)
-                z = _conv(z, blk["conv2"], stride=s, relu=True, policy=policy, interpret=interpret)
-                y = _conv(
-                    z, blk["conv3"], stride=1, relu=True, residual=short,
-                    policy=policy, interpret=interpret,
+                yr = bottleneck_block_chained_int8(
+                    yr,
+                    blk["w1q"], blk["sw1"], blk["b1"],
+                    blk["w2pq"], blk["sw2p"], blk["b2"],
+                    blk["w3q"], blk["sw3"], blk["b3"],
+                    scale_vec,
+                    h=h, w_sp=w_sp, emit_i8=not last, interpret=interpret,
+                    wdq=blk.get("wdq"), swd=blk.get("swd"), bd=blk.get("bd"),
                 )
-            else:
-                z = _conv(y, blk["conv1"], stride=s, relu=True, policy=policy, interpret=interpret)
-                y = _conv(
-                    z, blk["conv2"], stride=1, relu=True, residual=short,
-                    policy=policy, interpret=interpret,
-                )
-            b += 1
 
+    y = unpad_from_chain(yr, bsz, h, w_sp)
     feats = jnp.mean(y.astype(jnp.float32), axis=(1, 2)).astype(policy.compute)
     logits = matmul(
         feats,

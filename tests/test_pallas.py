@@ -397,3 +397,153 @@ def test_fused_forward_int8_chain_close_to_fp(rng):
     rel_mae = np.mean(np.abs(got - ref)) / np.mean(np.abs(ref))
     assert rel_mae < 0.08, rel_mae
     assert (got.argmax(-1) == ref.argmax(-1)).mean() >= 0.5
+
+
+def test_downsample_block_s2_int8_matches_quant_reference(rng):
+    """The stride-2 phase-plane downsample megakernel == the quantized math
+    written op-by-op (conv1 full-res, 3x3/2, conv3 + projection shortcut)."""
+    from resnetc_tpu.ops.pallas.block import (
+        downsample_block_s2_int8,
+        quantize_ds_block,
+        unpad_from_chain,
+    )
+    from resnetc_tpu.ops.pallas.quant import quantize_with_scale
+
+    b, h, cin, c = 2, 10, 32, 16
+    c4 = 4 * c
+    oh = h // 2
+    x = jnp.asarray(rng.standard_normal((b, h, h, cin), dtype=np.float32))
+    blk = {
+        "conv1": {
+            "weight": jnp.asarray(rng.standard_normal((cin, c), dtype=np.float32) * 0.1),
+            "bias": jnp.asarray(rng.standard_normal((c,), dtype=np.float32) * 0.1),
+        },
+        "conv2": {
+            "weight": jnp.asarray(
+                rng.standard_normal((3, 3, c, c), dtype=np.float32) * 0.1
+            ),
+            "bias": jnp.asarray(rng.standard_normal((c,), dtype=np.float32) * 0.1),
+        },
+        "conv3": {
+            "weight": jnp.asarray(rng.standard_normal((c, c4), dtype=np.float32) * 0.1),
+            "bias": jnp.asarray(rng.standard_normal((c4,), dtype=np.float32) * 0.1),
+        },
+        "downsample": {
+            "weight": jnp.asarray(rng.standard_normal((cin, c4), dtype=np.float32) * 0.1),
+            "bias": jnp.asarray(rng.standard_normal((c4,), dtype=np.float32) * 0.1),
+        },
+    }
+    q = quantize_ds_block(blk)
+    s_x, s_z1, s_z2 = 4.0 / 127, 3.0 / 127, 5.0 / 127
+    scales = jnp.asarray([s_x, s_z1, s_z2, 1.0], jnp.float32)
+
+    def quant(v, s):
+        return jnp.clip(jnp.round(v * (1.0 / s)), -127.0, 127.0)
+
+    xq = quant(x, s_x)
+    z1 = jnp.einsum("bhwi,io->bhwo", xq, q["w1q"].astype(jnp.float32))
+    z1 = jnp.maximum(z1 * q["sw1"] * s_x + q["b1"], 0.0)
+    z1q = quant(z1, s_z1)
+    acc = lax_ops.conv2d(z1q, q["w2q"].astype(jnp.float32), stride=2, padding=1)
+    z2 = jnp.maximum(acc * q["sw2"] * s_z1 + q["b2"], 0.0)
+    z2q = quant(z2, s_z2)
+    y = jnp.einsum("bhwk,ko->bhwo", z2q, q["w3q"].astype(jnp.float32))
+    y = y * q["sw3"] * s_z2 + q["b3"]
+    sc = jnp.einsum("bhwi,io->bhwo", xq[:, ::2, ::2, :], q["wdq"].astype(jnp.float32))
+    y = y + sc * q["swd"] * s_x + q["bd"]
+    ref = jnp.maximum(y, 0.0)
+
+    yr = downsample_block_s2_int8(
+        quantize_with_scale(x, jnp.float32(s_x)),
+        q["w1q"], q["sw1"], q["b1"],
+        q["w2q"], q["sw2"], q["b2"],
+        q["w3q"], q["sw3"], q["b3"],
+        q["wdq"], q["swd"], q["bd"],
+        scales,
+        h=h, w_sp=h, emit_i8=False, interpret=True,
+    )
+    got = unpad_from_chain(yr, b, oh, oh)
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32),
+        np.asarray(ref.astype(jnp.bfloat16), np.float32),
+        rtol=2e-2, atol=2e-2,
+    )
+
+
+def test_chained_int8_projection_shortcut(rng):
+    """wdq/swd/bd turn the identity residual into the stride-1 projection
+    block (layer1 block 0): kernel == quantized reference with cin != 4c."""
+    from resnetc_tpu.ops.pallas.block import (
+        bottleneck_block_chained_int8,
+        pad_for_chain,
+        quantize_chain_block,
+        unpad_from_chain,
+    )
+    from resnetc_tpu.ops.pallas.quant import quantize_per_channel, quantize_with_scale
+
+    b, h, cin, c = 2, 8, 24, 16
+    c4 = 4 * c
+    x = jnp.asarray(rng.standard_normal((b, h, h, cin), dtype=np.float32))
+    blk = {
+        "conv1": {
+            "weight": jnp.asarray(rng.standard_normal((cin, c), dtype=np.float32) * 0.1),
+            "bias": jnp.asarray(rng.standard_normal((c,), dtype=np.float32) * 0.1),
+        },
+        "conv2": {
+            "weight": jnp.asarray(
+                rng.standard_normal((3, 3, c, c), dtype=np.float32) * 0.1
+            ),
+            "bias": jnp.asarray(rng.standard_normal((c,), dtype=np.float32) * 0.1),
+        },
+        "conv3": {
+            "weight": jnp.asarray(rng.standard_normal((c, c4), dtype=np.float32) * 0.1),
+            "bias": jnp.asarray(rng.standard_normal((c4,), dtype=np.float32) * 0.1),
+        },
+    }
+    q = quantize_chain_block(blk)
+    wd = jnp.asarray(rng.standard_normal((cin, c4), dtype=np.float32) * 0.1)
+    bd = jnp.asarray(rng.standard_normal((c4,), dtype=np.float32) * 0.1)
+    wdq, swd = quantize_per_channel(wd)
+    s_x, s_z1, s_z2 = 4.0 / 127, 3.0 / 127, 5.0 / 127
+    scales = jnp.asarray([s_x, s_z1, s_z2, 1.0], jnp.float32)
+
+    def quant(v, s):
+        return jnp.clip(jnp.round(v * (1.0 / s)), -127.0, 127.0)
+
+    xq = quant(x, s_x)
+    z1 = jnp.einsum("bhwi,io->bhwo", xq, q["w1q"].astype(jnp.float32))
+    z1 = jnp.maximum(z1 * q["sw1"] * s_x + q["b1"], 0.0)
+    z1q = quant(z1, s_z1)
+    z1p = jnp.pad(z1q, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    w2p = q["w2pq"].astype(jnp.float32).reshape(3, 16, 3, 16)
+    sw2 = q["sw2p"].reshape(3, 16)
+    accs = jnp.zeros((b, h, h, 16), jnp.float32)
+    for kh in range(3):
+        ph = jnp.zeros((b, h, h, 16), jnp.float32)
+        for kw in range(3):
+            tap = z1p[:, kh : kh + h, kw : kw + h, :]
+            ph = ph + jnp.einsum("bhwk,ko->bhwo", tap, w2p[kw, :, kh, :])
+        accs = accs + ph * sw2[kh]
+    z2 = jnp.maximum(accs * s_z1 + q["b2"], 0.0)
+    z2q = quant(z2, s_z2)
+    y = jnp.einsum("bhwk,ko->bhwo", z2q, q["w3q"].astype(jnp.float32))
+    y = y * q["sw3"] * s_z2 + q["b3"]
+    sc = jnp.einsum("bhwi,io->bhwo", xq, wdq.astype(jnp.float32))
+    ref = jnp.maximum(y + sc * swd * s_x + bd, 0.0)
+
+    xr = pad_for_chain(quantize_with_scale(x, jnp.float32(s_x)))
+    yr = bottleneck_block_chained_int8(
+        xr,
+        q["w1q"], q["sw1"], q["b1"],
+        q["w2pq"], q["sw2p"], q["b2"],
+        q["w3q"], q["sw3"], q["b3"],
+        scales,
+        h=h, w_sp=h, emit_i8=False, interpret=True,
+        wdq=wdq, swd=swd, bd=bd,
+    )
+    got = unpad_from_chain(yr, b, h, h)
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32),
+        np.asarray(ref.astype(jnp.bfloat16), np.float32),
+        rtol=2e-2, atol=2e-2,
+    )
