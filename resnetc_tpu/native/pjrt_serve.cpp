@@ -1,0 +1,262 @@
+// Standalone C++ PJRT serving shim — the no-Python serving binary.
+//
+// The reference's serving story is a single native binary (main.cu: load
+// weights, run the graph, print the class).  The TPU-native equivalent is a
+// PJRT client: XLA owns the kernels (the same compiled program the Python
+// engine runs), and this shim owns the process — dlopen a PJRT plugin
+// (libaxon_pjrt.so / libtpu.so), compile an exported StableHLO module, feed
+// image tensors, fetch logits.  No Python anywhere in the serving path.
+//
+// Usage:
+//   resnetc_pjrt_serve PLUGIN.so MODEL.mlir COMPILE_OPTS.pb INPUT.f32 \
+//       [N H W C] [--loop K]
+//
+//   MODEL.mlir        StableHLO text/bytecode from tools/export_stablehlo.py
+//   COMPILE_OPTS.pb   serialized xla.CompileOptionsProto (same exporter)
+//   INPUT.f32         raw little-endian f32 NHWC tensor, N*H*W*C elements
+//   The program must take ONE f32 NHWC input and return ONE f32 output
+//   (logits); argmax is computed host-side per image.
+//
+// Build: make -C resnetc_tpu/native pjrt  (needs the TF wheel's pjrt_c_api.h)
+
+#include <dlfcn.h>
+
+#include <cstdint>
+#include <cstdio>
+#include <cstdlib>
+#include <cstring>
+#include <chrono>
+#include <string>
+#include <vector>
+
+#include "xla/pjrt/c/pjrt_c_api.h"
+
+namespace {
+
+const PJRT_Api* g_api = nullptr;
+
+[[noreturn]] void Die(const std::string& msg) {
+  std::fprintf(stderr, "pjrt_serve: %s\n", msg.c_str());
+  std::exit(1);
+}
+
+void Check(PJRT_Error* err, const char* what) {
+  if (err == nullptr) return;
+  PJRT_Error_Message_Args margs;
+  std::memset(&margs, 0, sizeof(margs));
+  margs.struct_size = PJRT_Error_Message_Args_STRUCT_SIZE;
+  margs.error = err;
+  g_api->PJRT_Error_Message(&margs);
+  std::string msg(margs.message, margs.message_size);
+  PJRT_Error_Destroy_Args dargs;
+  std::memset(&dargs, 0, sizeof(dargs));
+  dargs.struct_size = PJRT_Error_Destroy_Args_STRUCT_SIZE;
+  dargs.error = err;
+  g_api->PJRT_Error_Destroy(&dargs);
+  Die(std::string(what) + ": " + msg);
+}
+
+std::string ReadFile(const char* path) {
+  std::FILE* f = std::fopen(path, "rb");
+  if (!f) Die(std::string("cannot open ") + path);
+  std::fseek(f, 0, SEEK_END);
+  long n = std::ftell(f);
+  std::fseek(f, 0, SEEK_SET);
+  std::string out(static_cast<size_t>(n), '\0');
+  if (n > 0 && std::fread(out.data(), 1, static_cast<size_t>(n), f) !=
+                   static_cast<size_t>(n))
+    Die(std::string("short read on ") + path);
+  std::fclose(f);
+  return out;
+}
+
+void AwaitEvent(PJRT_Event* ev, const char* what) {
+  if (ev == nullptr) return;
+  PJRT_Event_Await_Args aargs;
+  std::memset(&aargs, 0, sizeof(aargs));
+  aargs.struct_size = PJRT_Event_Await_Args_STRUCT_SIZE;
+  aargs.event = ev;
+  Check(g_api->PJRT_Event_Await(&aargs), what);
+  PJRT_Event_Destroy_Args dargs;
+  std::memset(&dargs, 0, sizeof(dargs));
+  dargs.struct_size = PJRT_Event_Destroy_Args_STRUCT_SIZE;
+  dargs.event = ev;
+  g_api->PJRT_Event_Destroy(&dargs);
+}
+
+}  // namespace
+
+int main(int argc, char** argv) {
+  if (argc < 5) {
+    std::fprintf(stderr,
+                 "usage: %s PLUGIN.so MODEL.mlir COMPILE_OPTS.pb INPUT.f32 "
+                 "[N H W C] [--loop K]\n",
+                 argv[0]);
+    return 2;
+  }
+  const char* plugin_path = argv[1];
+  int64_t dims[4] = {1, 224, 224, 3};
+  int loop = 1;
+  int pos = 5;
+  if (argc >= pos + 4 && argv[pos][0] != '-') {
+    for (int i = 0; i < 4; ++i) dims[i] = std::atoll(argv[pos + i]);
+    pos += 4;
+  }
+  if (argc >= pos + 2 && std::strcmp(argv[pos], "--loop") == 0)
+    loop = std::atoi(argv[pos + 1]);
+
+  // --- plugin
+  void* handle = dlopen(plugin_path, RTLD_NOW | RTLD_LOCAL);
+  if (!handle) Die(std::string("dlopen: ") + dlerror());
+  auto get_api =
+      reinterpret_cast<const PJRT_Api* (*)()>(dlsym(handle, "GetPjrtApi"));
+  if (!get_api) Die("plugin has no GetPjrtApi");
+  g_api = get_api();
+  std::fprintf(stderr, "plugin PJRT API v%d.%d (header v%d.%d)\n",
+               g_api->pjrt_api_version.major_version,
+               g_api->pjrt_api_version.minor_version, PJRT_API_MAJOR,
+               PJRT_API_MINOR);
+
+  {
+    PJRT_Plugin_Initialize_Args iargs;
+    std::memset(&iargs, 0, sizeof(iargs));
+    iargs.struct_size = PJRT_Plugin_Initialize_Args_STRUCT_SIZE;
+    Check(g_api->PJRT_Plugin_Initialize(&iargs), "Plugin_Initialize");
+  }
+
+  // --- client
+  PJRT_Client_Create_Args cargs;
+  std::memset(&cargs, 0, sizeof(cargs));
+  cargs.struct_size = PJRT_Client_Create_Args_STRUCT_SIZE;
+  Check(g_api->PJRT_Client_Create(&cargs), "Client_Create");
+  PJRT_Client* client = cargs.client;
+
+  PJRT_Client_AddressableDevices_Args devs;
+  std::memset(&devs, 0, sizeof(devs));
+  devs.struct_size = PJRT_Client_AddressableDevices_Args_STRUCT_SIZE;
+  devs.client = client;
+  Check(g_api->PJRT_Client_AddressableDevices(&devs), "AddressableDevices");
+  if (devs.num_addressable_devices == 0) Die("no addressable devices");
+  std::fprintf(stderr, "%zu addressable device(s)\n",
+               devs.num_addressable_devices);
+  PJRT_Device* device = devs.addressable_devices[0];
+
+  // --- compile
+  std::string mlir = ReadFile(argv[2]);
+  std::string copts = ReadFile(argv[3]);
+  PJRT_Program program;
+  std::memset(&program, 0, sizeof(program));
+  program.struct_size = PJRT_Program_STRUCT_SIZE;
+  program.code = mlir.data();
+  program.code_size = mlir.size();
+  static const char kFormat[] = "mlir";
+  program.format = kFormat;
+  program.format_size = sizeof(kFormat) - 1;
+
+  PJRT_Client_Compile_Args comp;
+  std::memset(&comp, 0, sizeof(comp));
+  comp.struct_size = PJRT_Client_Compile_Args_STRUCT_SIZE;
+  comp.client = client;
+  comp.program = &program;
+  comp.compile_options = copts.data();
+  comp.compile_options_size = copts.size();
+  auto t0 = std::chrono::steady_clock::now();
+  Check(g_api->PJRT_Client_Compile(&comp), "Compile");
+  PJRT_LoadedExecutable* exec = comp.executable;
+  std::fprintf(
+      stderr, "compiled in %.1fs\n",
+      std::chrono::duration<double>(std::chrono::steady_clock::now() - t0)
+          .count());
+
+  // --- input
+  std::string input = ReadFile(argv[4]);
+  size_t want = static_cast<size_t>(dims[0]) * dims[1] * dims[2] * dims[3] * 4;
+  if (input.size() != want)
+    Die("input size " + std::to_string(input.size()) + " != expected " +
+        std::to_string(want));
+
+  PJRT_Client_BufferFromHostBuffer_Args hb;
+  std::memset(&hb, 0, sizeof(hb));
+  hb.struct_size = PJRT_Client_BufferFromHostBuffer_Args_STRUCT_SIZE;
+  hb.client = client;
+  hb.data = input.data();
+  hb.type = PJRT_Buffer_Type_F32;
+  hb.dims = dims;
+  hb.num_dims = 4;
+  hb.host_buffer_semantics =
+      PJRT_HostBufferSemantics_kImmutableUntilTransferCompletes;
+  hb.device = device;
+  Check(g_api->PJRT_Client_BufferFromHostBuffer(&hb), "BufferFromHostBuffer");
+  AwaitEvent(hb.done_with_host_buffer, "host transfer");
+  PJRT_Buffer* in_buf = hb.buffer;
+
+  // --- execute (loop for a crude standalone throughput check)
+  PJRT_Buffer* out_buf = nullptr;
+  double exec_s = 0.0;
+  for (int it = 0; it < loop; ++it) {
+    PJRT_ExecuteOptions opts;
+    std::memset(&opts, 0, sizeof(opts));
+    opts.struct_size = PJRT_ExecuteOptions_STRUCT_SIZE;
+    PJRT_Buffer* args_row[1] = {in_buf};
+    PJRT_Buffer* const* arg_lists[1] = {args_row};
+    PJRT_Buffer* out_row[1] = {nullptr};
+    PJRT_Buffer** out_lists[1] = {out_row};
+    PJRT_Event* done[1] = {nullptr};
+
+    PJRT_LoadedExecutable_Execute_Args ex;
+    std::memset(&ex, 0, sizeof(ex));
+    ex.struct_size = PJRT_LoadedExecutable_Execute_Args_STRUCT_SIZE;
+    ex.executable = exec;
+    ex.options = &opts;
+    ex.argument_lists = arg_lists;
+    ex.num_devices = 1;
+    ex.num_args = 1;
+    ex.output_lists = out_lists;
+    ex.device_complete_events = done;
+    auto e0 = std::chrono::steady_clock::now();
+    Check(g_api->PJRT_LoadedExecutable_Execute(&ex), "Execute");
+    AwaitEvent(done[0], "execute");
+    exec_s +=
+        std::chrono::duration<double>(std::chrono::steady_clock::now() - e0)
+            .count();
+    if (out_buf != nullptr) {
+      PJRT_Buffer_Destroy_Args bd;
+      std::memset(&bd, 0, sizeof(bd));
+      bd.struct_size = PJRT_Buffer_Destroy_Args_STRUCT_SIZE;
+      bd.buffer = out_buf;
+      g_api->PJRT_Buffer_Destroy(&bd);
+    }
+    out_buf = out_row[0];
+  }
+
+  // --- fetch
+  PJRT_Buffer_ToHostBuffer_Args th;
+  std::memset(&th, 0, sizeof(th));
+  th.struct_size = PJRT_Buffer_ToHostBuffer_Args_STRUCT_SIZE;
+  th.src = out_buf;
+  Check(g_api->PJRT_Buffer_ToHostBuffer(&th), "ToHostBuffer(size)");
+  std::vector<float> logits(th.dst_size / sizeof(float));
+  std::memset(&th, 0, sizeof(th));
+  th.struct_size = PJRT_Buffer_ToHostBuffer_Args_STRUCT_SIZE;
+  th.src = out_buf;
+  th.dst = logits.data();
+  th.dst_size = logits.size() * sizeof(float);
+  Check(g_api->PJRT_Buffer_ToHostBuffer(&th), "ToHostBuffer");
+  AwaitEvent(th.event, "device->host");
+
+  // --- argmax per image (row-major [N, n_classes])
+  size_t n = static_cast<size_t>(dims[0]);
+  size_t classes = logits.size() / (n == 0 ? 1 : n);
+  for (size_t i = 0; i < n; ++i) {
+    const float* row = logits.data() + i * classes;
+    size_t best = 0;
+    for (size_t j = 1; j < classes; ++j)
+      if (row[j] > row[best]) best = j;
+    std::printf("image %zu: class %zu (logit %.4f)\n", i, best, row[best]);
+  }
+  std::fprintf(stderr,
+               "%d run(s), %.2f ms/run dispatch+complete (tunnel RTT "
+               "included; not a kernel benchmark)\n",
+               loop, exec_s / loop * 1e3);
+  return 0;
+}

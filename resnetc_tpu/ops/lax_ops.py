@@ -29,6 +29,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 
 EPS = 1e-5  # BatchNorm epsilon, fixed to the reference's value (cuda/ops.cu:150).
@@ -111,8 +112,14 @@ def max_pool2d(x: jax.Array, *, kernel_size: int, stride: int, padding: int) -> 
     """Max pool, NHWC. Padded elements are -inf, matching the reference's
     skip-out-of-bounds-start-from--inf loop (cuda/ops.cu:64)."""
     # Init must be a static scalar: a traced init defeats the reduce-window-max
-    # specialisation and with it reverse-mode autodiff under jit.
-    neg_inf = -jnp.inf if jnp.issubdtype(x.dtype, jnp.floating) else jnp.iinfo(x.dtype).min
+    # specialisation and with it reverse-mode autodiff under jit.  For int
+    # inputs it must also be a dtype-matched numpy scalar — a Python int
+    # promotes to int32 and reduce_window rejects the dtype mismatch.
+    neg_inf = (
+        -jnp.inf
+        if jnp.issubdtype(x.dtype, jnp.floating)
+        else np.asarray(jnp.iinfo(x.dtype).min, x.dtype)[()]
+    )
     return lax.reduce_window(
         x,
         neg_inf,

@@ -569,7 +569,12 @@ def bottleneck_block_chained_int8(
 # kernel — conv1x1 at full res, 3x3/2 via phase planes, conv1x1 + projection
 # shortcut at half res — x read once (as four int8 phase planes), y written
 # once, directly in the CHAIN layout so the following stride-1 chain needs no
-# entry pad.  Reference capability: main.cu:48-82 (ResnetBlock with
+# entry pad.  The phase planes come straight from the producing stage's chain
+# buffer: the chain layout already carries the conv ring, and its (hp, wp)
+# are even with wp == 2*wp_next at every ResNet stage, so the split is a free
+# reshape + ONE efficient XLA transpose (measured 4.5x cheaper than the
+# pad + four strided slices it replaces — strided int8 slicing ran at ~13%
+# of HBM roofline).  Reference capability: main.cu:48-82 (ResnetBlock with
 # downsample); the decomposition is the phase-plane trick of conv_s2_fused
 # applied inside a block-level kernel.
 # ---------------------------------------------------------------------------
@@ -580,23 +585,26 @@ def _ds_block_s2_kernel(
     wd_ref, bd_ref, mask_ref,
     sw1_ref, sw2_ref, sw3_ref, swd_ref, s_ref,
     o_ref, z1p_ref,
-    *, bt, hq, wq, c, c4, emit_i8,
+    *, bt, hq, wq, hp2, wp2, c, c4, emit_i8,
 ):
-    """pl_ref: (4, rows, cin) int8 phase planes of the padded input
-    (plane (ph,pw)[i,j] = x_pad[2i+ph, 2j+pw], x_pad = x zero-padded by 1
-    top/left); hq/wq EQUAL the output chain layout's (hp, wp) so output row
-    u of the compact conv2 indexing maps to chain row u + wq + 1 — the whole
-    epilogue lands in ONE shifted store per chunk.
+    """pl_ref: (4, rows, cin) int8 phase planes of the INPUT stage's chain
+    buffer (plane (ph,pw)[i,j] = chain[2i+ph, 2j+pw] = x_pad[2i+ph, 2j+pw]
+    where x_pad is x with its 1-pixel conv ring; ring garbage is masked after
+    conv1).  (hq, wq) = (hp/2, wp/2) of the input chain; (hp2, wp2) is the
+    OUTPUT stage's chain geometry.  wq == wp2 is required: it makes the
+    in-image mapping compact-conv-row u -> output chain row u + wp2 + 1 a
+    flat shift, so only per-image base offsets differ.
 
     s_ref (SMEM, (4,)): [s_x, s_z1, s_z2, s_y].  conv2's weight scales are
     joint per output channel (sw2, (1, c)) so the nine tap dots accumulate
     in int32 before a single dequant.
     """
     rows = bt * hq * wq
-    m = rows - 2 * wq  # tap slices reach off + m <= rows (max off = wq + 1)
     s_x, s_z1, s_z2, s_y = s_ref[0], s_ref[1], s_ref[2], s_ref[3]
 
     # --- conv1 (1x1, cin -> c) on each phase plane, masked + requantized.
+    # Flat over all bt images: conv1 is per-pixel, image boundaries don't
+    # matter here.
     for p in range(4):
         zp = jax.lax.dot_general(
             pl_ref[p], w1_ref[:],
@@ -614,55 +622,62 @@ def _ds_block_s2_kernel(
             jnp.round(zp.reshape(rows, c) * (1.0 / s_z1)), -127.0, 127.0
         ).astype(jnp.int8)
 
-    # --- conv2 (3x3 stride 2): nine tap dots over the phase planes,
-    # int32-accumulated (joint per-j scales), one dequant.
-    acc = None
-    for u in range(3):
-        for v in range(3):
-            phase = (u % 2) * 2 + (v % 2)
-            off = (u // 2) * wq + (v // 2)
-            contrib = jax.lax.dot_general(
-                z1p_ref[phase, off : off + m, :], w2_ref[u, v],
+    # --- conv2 (3x3 stride 2) + conv3 + shortcut, per image: plane geometry
+    # (hq, wq) and output chain geometry (hp2, wp2) differ in H (hq = hp/2 of
+    # the INPUT stage; hp2 = oh + 2), so row offsets are per-image.  wq ==
+    # wp2 keeps the in-image mapping one flat shift: compact conv row
+    # u = r*wq + cc  ->  output chain row u + wp2 + 1.
+    n_u = hq * wq - wq - 1  # covers all interior rows; max tap off = wq + 1
+    for k in range(bt):
+        base = k * hq * wq
+        acc = None
+        for u in range(3):
+            for v in range(3):
+                phase = (u % 2) * 2 + (v % 2)
+                off = base + (u // 2) * wq + (v // 2)
+                contrib = jax.lax.dot_general(
+                    z1p_ref[phase, off : off + n_u, :], w2_ref[u, v],
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32,
+                )
+                acc = contrib if acc is None else acc + contrib
+        z2 = acc.astype(jnp.float32) * sw2_ref[:].astype(jnp.float32) * s_z1
+        z2 = jnp.maximum(z2 + b2_ref[:].astype(jnp.float32), 0.0)
+        z2 = jnp.clip(jnp.round(z2 * (1.0 / s_z2)), -127.0, 127.0).astype(jnp.int8)
+
+        # conv3 (1x1, c -> 4c) + projection shortcut + ReLU; shifted store
+        # into the output chain layout (ring rows stay garbage).  The
+        # stride-2 1x1 shortcut reads x[2r, 2c] = plane (1,1) at the SAME
+        # compact row index u.
+        obase = k * hp2 * wp2 + wp2 + 1
+        chunk = n_u
+        while chunk > 1024 and chunk % 2 == 0:
+            chunk //= 2
+        for lo in range(0, n_u, chunk):
+            n = min(chunk, n_u - lo)
+            y = jax.lax.dot_general(
+                jax.lax.slice_in_dim(z2, lo, lo + n, axis=0), w3_ref[:],
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.int32,
             )
-            acc = contrib if acc is None else acc + contrib
-    z2 = acc.astype(jnp.float32) * sw2_ref[:].astype(jnp.float32) * s_z1
-    z2 = jnp.maximum(z2 + b2_ref[:].astype(jnp.float32), 0.0)
-    z2 = jnp.clip(jnp.round(z2 * (1.0 / s_z2)), -127.0, 127.0).astype(jnp.int8)
-
-    # --- conv3 (1x1, c -> 4c) + projection shortcut + ReLU; shifted store
-    # into the chain layout (row u -> chain row u + wq + 1; ring rows stay
-    # garbage).  The stride-2 1x1 shortcut reads x[2r2, 2c2] = x_pad[2r2+1,
-    # 2c2+1] = plane (1,1) — available as pl_ref[3] at the SAME row index u.
-    chunk = m
-    while chunk > 1024 and chunk % 2 == 0:
-        chunk //= 2
-    for lo in range(0, m, chunk):
-        n = min(chunk, m - lo)
-        y = jax.lax.dot_general(
-            jax.lax.slice_in_dim(z2, lo, lo + n, axis=0), w3_ref[:],
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.int32,
-        )
-        y = y.astype(jnp.float32) * sw3_ref[:].astype(jnp.float32) * s_z2
-        y = y + b3_ref[:].astype(jnp.float32)
-        sc = jax.lax.dot_general(
-            pl_ref[3, lo : lo + n, :], wd_ref[:],
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.int32,
-        )
-        y = y + (
-            sc.astype(jnp.float32) * swd_ref[:].astype(jnp.float32) * s_x
-            + bd_ref[:].astype(jnp.float32)
-        )
-        y = jnp.maximum(y, 0.0)
-        if emit_i8:
-            o_ref[wq + 1 + lo : wq + 1 + lo + n, :] = jnp.clip(
-                jnp.round(y * (1.0 / s_y)), -127.0, 127.0
-            ).astype(jnp.int8)
-        else:
-            o_ref[wq + 1 + lo : wq + 1 + lo + n, :] = y.astype(o_ref.dtype)
+            y = y.astype(jnp.float32) * sw3_ref[:].astype(jnp.float32) * s_z2
+            y = y + b3_ref[:].astype(jnp.float32)
+            sc = jax.lax.dot_general(
+                pl_ref[3, base + lo : base + lo + n, :], wd_ref[:],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )
+            y = y + (
+                sc.astype(jnp.float32) * swd_ref[:].astype(jnp.float32) * s_x
+                + bd_ref[:].astype(jnp.float32)
+            )
+            y = jnp.maximum(y, 0.0)
+            if emit_i8:
+                o_ref[obase + lo : obase + lo + n, :] = jnp.clip(
+                    jnp.round(y * (1.0 / s_y)), -127.0, 127.0
+                ).astype(jnp.int8)
+            else:
+                o_ref[obase + lo : obase + lo + n, :] = y.astype(o_ref.dtype)
 
 
 def _pick_bt_ds_s2(b: int, hq: int, wq: int, cin: int, c: int, c4: int) -> int:
@@ -691,7 +706,7 @@ def _pick_bt_ds_s2(b: int, hq: int, wq: int, cin: int, c: int, c4: int) -> int:
     jax.jit, static_argnames=("h", "w_sp", "emit_i8", "bt", "interpret")
 )
 def downsample_block_s2_int8(
-    xq: jax.Array,
+    xr: jax.Array,
     w1q: jax.Array, sw1: jax.Array, b1: jax.Array,
     w2q: jax.Array, sw2: jax.Array, b2: jax.Array,
     w3q: jax.Array, sw3: jax.Array, b3: jax.Array,
@@ -703,31 +718,53 @@ def downsample_block_s2_int8(
     bt: int | None = None,
     interpret: bool = False,
 ) -> jax.Array:
-    """Whole stride-2 bottleneck downsample block, one kernel.
+    """Whole stride-2 bottleneck downsample block, one kernel, chain to chain.
 
-    xq: (B, H, W, cin) int8 NHWC at scale scales[0] (the producer chain's
-    emitted int8).  Weights per quantize_ds_block.  Output: (B*Hp2*Wp2, 4c)
-    rows in the CHAIN layout of the (H/2, W/2) stage — feed it directly to
-    bottleneck_block_chained_int8 (no pad pass).  scales = [s_x, s_z1,
-    s_z2, s_y].
+    xr: (B*Hp*Wp, cin) int8 CHAIN rows of the (h, w_sp) input stage at scale
+    scales[0] — exactly what the previous stage's chain kernels emit (ring
+    garbage included; it is masked after conv1).  Weights per
+    quantize_ds_block.  Output: (B*Hp2*Wp2, 4c) rows in the chain layout of
+    the (h/2, w_sp/2) stage — feed it directly to
+    bottleneck_block_chained_int8.  scales = [s_x, s_z1, s_z2, s_y].
     """
-    b, hh, ww, cin = xq.shape
-    assert (hh, ww) == (h, w_sp), (xq.shape, h, w_sp)
+    hp, wp = chain_meta(0, h, w_sp)
+    total_rows, cin = xr.shape
+    b = total_rows // (hp * wp)
+    assert b * hp * wp == total_rows, (xr.shape, (hp, wp))
     c = w1q.shape[-1]
     c4 = w3q.shape[-1]
     oh, ow = (h + 1) // 2, (w_sp + 1) // 2
     hp2, wp2 = chain_meta(0, oh, ow)
-    hq, wq = hp2, wp2  # plane geometry == output chain geometry (see kernel)
-    bt = bt or _pick_bt_ds_s2(b, hq, wq, cin, c, c4)
-
-    # Phase planes of x zero-padded by 1 top/left (conv pad): plane
-    # (ph,pw)[i,j] = x_pad[2i+ph, 2j+pw].  One XLA gather, int8 in/out.
-    x_pad = jnp.pad(
-        xq, ((0, 0), (1, 2 * hq - 1 - h), (1, 2 * wq - 1 - w_sp), (0, 0))
+    hq, wq = hp // 2, wp // 2
+    # Fast path (holds at every 224-input ResNet stage; see kernel
+    # docstring): phase planes straight from the chain buffer — chain row
+    # (2i+ph, 2j+pw) IS x_pad[2i+ph, 2j+pw] (the chain layout carries the
+    # conv ring).  The reshape splits H/W by 2 for free; the single
+    # transpose is the only data movement.
+    direct = (
+        hp % 2 == 0 and wp % 2 == 0 and wq == wp2 and hp2 >= hq + 1
     )
-    planes = jnp.stack(
-        [x_pad[:, ph::2, pw::2, :] for ph in range(2) for pw in range(2)]
-    ).reshape(4, b * hq * wq, cin)
+    if direct:
+        planes = (
+            xr.reshape(b, hq, 2, wq, 2, cin)
+            .transpose(2, 4, 0, 1, 3, 5)
+            .reshape(4, b * hq * wq, cin)
+        )
+    else:
+        # Generic geometry (other input sizes): rebuild an equal-geometry
+        # padded buffer (hq, wq) == (hp2, wp2), still split via the
+        # reshape+transpose (never strided slices).
+        hq, wq = hp2, wp2
+        x = xr.reshape(b, hp, wp, cin)[:, 1 : 1 + h, 1 : 1 + w_sp, :]
+        x_pad = jnp.pad(
+            x, ((0, 0), (1, 2 * hq - 1 - h), (1, 2 * wq - 1 - w_sp), (0, 0))
+        )
+        planes = (
+            x_pad.reshape(b, hq, 2, wq, 2, cin)
+            .transpose(2, 4, 0, 1, 3, 5)
+            .reshape(4, b * hq * wq, cin)
+        )
+    bt = bt or _pick_bt_ds_s2(b, hq, wq, cin, c, c4)
 
     # Per-plane interior masks: plane position (i, j) is a real x pixel iff
     # 0 <= 2i+ph-1 < h and 0 <= 2j+pw-1 < w.
@@ -745,11 +782,13 @@ def downsample_block_s2_int8(
     )
 
     rows = bt * hq * wq
+    rows_out = bt * hp2 * wp2
     out_dtype = jnp.int8 if emit_i8 else jnp.bfloat16
     return pl.pallas_call(
         functools.partial(
             _ds_block_s2_kernel,
-            bt=bt, hq=hq, wq=wq, c=c, c4=c4, emit_i8=emit_i8,
+            bt=bt, hq=hq, wq=wq, hp2=hp2, wp2=wp2, c=c, c4=c4,
+            emit_i8=emit_i8,
         ),
         grid=(b // bt,),
         in_specs=[
@@ -769,8 +808,8 @@ def downsample_block_s2_int8(
             pl.BlockSpec((1, c4), lambda i: (0, 0)),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
-        out_specs=pl.BlockSpec((rows, c4), lambda i: (i, 0)),
-        out_shape=jax.ShapeDtypeStruct((b * hq * wq, c4), out_dtype),
+        out_specs=pl.BlockSpec((rows_out, c4), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((b * hp2 * wp2, c4), out_dtype),
         scratch_shapes=[
             pltpu.VMEM((4, rows, c), jnp.int8),  # z1 phase planes
         ],

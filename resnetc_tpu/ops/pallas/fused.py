@@ -400,13 +400,17 @@ def fused_forward_int8_chain(
 ) -> jax.Array:
     """Serving forward with every bottleneck block as ONE int8 megakernel.
 
-    After the bf16 stem + maxpool there is a single quantize+pad pass; from
-    there to the head, activations cross HBM exclusively as int8 — stride-1
-    blocks via bottleneck_block_chained_int8 (layer1's projection block
-    included), stage transitions via downsample_block_s2_int8 (which reads
-    the previous stage's int8 output as phase planes and emits the new
-    stage's chain layout directly).  The very last block emits bf16 rows for
-    the head.  Falls back to the bf16 fused path for non-bottleneck configs.
+    Quantization happens BEFORE the maxpool: max commutes with the monotone
+    round/clip quantizer, so pooling the int8 stem output (XLA reduce_window,
+    int-min padding) is bit-identical to quantizing the pooled bf16 — and
+    halves the pool's HBM traffic while the quantize fuses into the stem
+    conv's epilogue.  From the pool to the head, activations cross HBM
+    exclusively as int8 — stride-1 blocks via bottleneck_block_chained_int8
+    (layer1's projection block included), stage transitions via
+    downsample_block_s2_int8 (which reads the previous stage's int8 output
+    as phase planes and emits the new stage's chain layout directly).  The
+    very last block emits bf16 rows for the head.  Falls back to the bf16
+    fused path for non-bottleneck configs.
     """
     from resnetc_tpu.ops.pallas.block import (
         bottleneck_block_chained_int8,
@@ -415,10 +419,6 @@ def fused_forward_int8_chain(
         unpad_from_chain,
     )
     from resnetc_tpu.ops.pallas.quant import quantize_with_scale
-
-    x = x.astype(policy.compute)
-    y = _conv(x, qtree["conv1"], stride=2, relu=True, policy=policy, interpret=interpret)
-    y = max_pool2d(y, kernel_size=3, stride=2, padding=1, interpret=interpret)
 
     if cfg.block != "bottleneck":
         return fused_forward(cfg, qtree, x, policy=policy, interpret=interpret)
@@ -435,9 +435,14 @@ def fused_forward_int8_chain(
             return site(stage + 1, 0)["in"]
         return None
 
-    # One quantize+pad entry pass; everything after is int8 in HBM.
-    bsz, h, w_sp, _ = y.shape
-    yr = pad_for_chain(quantize_with_scale(y, site(0, 0)["in"]))
+    x = x.astype(policy.compute)
+    y = _conv(x, qtree["conv1"], stride=2, relu=True, policy=policy, interpret=interpret)
+    yq = quantize_with_scale(y, site(0, 0)["in"])
+    yq = lax_ops.max_pool2d(yq, kernel_size=3, stride=2, padding=1)
+
+    # One pad entry pass; everything after is int8 in HBM.
+    bsz, h, w_sp, _ = yq.shape
+    yr = pad_for_chain(yq)
 
     for stage in range(4):
         blocks = qtree[f"layer{stage + 1}"]
@@ -451,21 +456,20 @@ def fused_forward_int8_chain(
                  s_y if s_y is not None else jnp.float32(1.0)]
             ).astype(jnp.float32)
             if b == 0 and stage > 0:
-                # Stage transition: previous chain emitted int8 rows; unpad
-                # (int8 slice) and run the stride-2 phase-plane megakernel,
-                # which emits this stage's chain layout directly.
-                xq = unpad_from_chain(yr, bsz, h, w_sp)
-                h, w_sp = (h + 1) // 2, (w_sp + 1) // 2
+                # Stage transition: the stride-2 phase-plane megakernel reads
+                # the previous chain's int8 rows directly (free reshape + one
+                # transpose) and emits this stage's chain layout.
                 yr = downsample_block_s2_int8(
-                    xq,
+                    yr,
                     blk["w1q"], blk["sw1"], blk["b1"],
                     blk["w2q"], blk["sw2"], blk["b2"],
                     blk["w3q"], blk["sw3"], blk["b3"],
                     blk["wdq"], blk["swd"], blk["bd"],
                     scale_vec,
-                    h=h * 2, w_sp=w_sp * 2, emit_i8=not last,
+                    h=h, w_sp=w_sp, emit_i8=not last,
                     interpret=interpret,
                 )
+                h, w_sp = (h + 1) // 2, (w_sp + 1) // 2
             else:
                 yr = bottleneck_block_chained_int8(
                     yr,

@@ -404,6 +404,7 @@ def test_downsample_block_s2_int8_matches_quant_reference(rng):
     written op-by-op (conv1 full-res, 3x3/2, conv3 + projection shortcut)."""
     from resnetc_tpu.ops.pallas.block import (
         downsample_block_s2_int8,
+        pad_for_chain,
         quantize_ds_block,
         unpad_from_chain,
     )
@@ -454,7 +455,7 @@ def test_downsample_block_s2_int8_matches_quant_reference(rng):
     ref = jnp.maximum(y, 0.0)
 
     yr = downsample_block_s2_int8(
-        quantize_with_scale(x, jnp.float32(s_x)),
+        pad_for_chain(quantize_with_scale(x, jnp.float32(s_x))),
         q["w1q"], q["sw1"], q["b1"],
         q["w2q"], q["sw2"], q["b2"],
         q["w3q"], q["sw3"], q["b3"],

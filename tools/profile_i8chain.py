@@ -31,7 +31,8 @@ from resnetc_tpu.ops.pallas.block import (
     pad_for_chain,
     unpad_from_chain,
 )
-from resnetc_tpu.ops.pallas.fused import _conv, max_pool2d
+from resnetc_tpu.ops import lax_ops
+from resnetc_tpu.ops.pallas.fused import _conv
 from resnetc_tpu.ops.pallas.quant import quantize_with_scale
 from resnetc_tpu.tensor import BF16
 
@@ -57,12 +58,13 @@ def build_prefix(cfg, qtree, chain_scales, cut, policy=BF16):
         segs += 1
         if segs >= cut:
             return y
-        y = max_pool2d(y, kernel_size=3, stride=2, padding=1)
+        yq = quantize_with_scale(y, site(0, 0)["in"])
+        yq = lax_ops.max_pool2d(yq, kernel_size=3, stride=2, padding=1)
         segs += 1
         if segs >= cut:
-            return y
-        bsz, h, w_sp, _ = y.shape
-        yr = pad_for_chain(quantize_with_scale(y, site(0, 0)["in"]))
+            return yq.astype(jnp.bfloat16)
+        bsz, h, w_sp, _ = yq.shape
+        yr = pad_for_chain(yq)
         segs += 1
         if segs >= cut:
             return yr.astype(jnp.bfloat16)
@@ -78,16 +80,15 @@ def build_prefix(cfg, qtree, chain_scales, cut, policy=BF16):
                      s_y if s_y is not None else jnp.float32(1.0)]
                 ).astype(jnp.float32)
                 if b == 0 and stage > 0:
-                    xq = unpad_from_chain(yr, bsz, h, w_sp)
-                    h, w_sp = (h + 1) // 2, (w_sp + 1) // 2
                     yr = downsample_block_s2_int8(
-                        xq,
+                        yr,
                         blk["w1q"], blk["sw1"], blk["b1"],
                         blk["w2q"], blk["sw2"], blk["b2"],
                         blk["w3q"], blk["sw3"], blk["b3"],
                         blk["wdq"], blk["swd"], blk["bd"],
-                        scale_vec, h=h * 2, w_sp=w_sp * 2, emit_i8=not last,
+                        scale_vec, h=h, w_sp=w_sp, emit_i8=not last,
                     )
+                    h, w_sp = (h + 1) // 2, (w_sp + 1) // 2
                 else:
                     yr = bottleneck_block_chained_int8(
                         yr,

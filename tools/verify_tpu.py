@@ -378,6 +378,25 @@ def _():
     return rel_mae(got, ref)
 
 
+@check("fused_forward_int8_chain vs XLA logits (argmax + loose MAE)", 0.35)
+def _():
+    from resnetc_tpu.ops.pallas import fused
+    from resnetc_tpu.tensor import BF16
+
+    cfg, _, folded, x, ref = _fixture()
+    scales = fused.calibrate_chain_scales(cfg, folded, x)
+    qtree = fused.quantize_chain(cfg, folded)
+    got = np.asarray(
+        jax.jit(
+            lambda f, s, xx: fused.fused_forward_int8_chain(cfg, f, s, xx, policy=BF16)
+        )(qtree, scales, x),
+        np.float32,
+    )
+    match = float((got.argmax(-1) == ref.argmax(-1)).mean())
+    assert match >= 0.75, f"int8_chain argmax agreement {match} < 0.75"
+    return rel_mae(got, ref)
+
+
 def main() -> int:
     platform = jax.devices()[0].platform
     if platform != "tpu":
