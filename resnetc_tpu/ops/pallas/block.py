@@ -337,36 +337,38 @@ def _chained_kernel_int8(
     *, bt, hp, wp, c, c4, emit_i8,
     wd_ref=None, swd_ref=None, bd_ref=None,
 ):
-    """Int8 twin of _chained_kernel.
+    """Int8 twin of _chained_kernel, with HOST-FOLDED requant scales.
 
-    x_ref (rows, 4c) int8 at scale s_x; all weights int8 with per-output-
-    channel f32 scales; biases f32.  s_ref (SMEM, (4,)) = [s_x, s_z1, s_z2,
-    s_y].  Intermediates are requantized in-register (producer epilogue), so
-    z1/z2 never exist above int8 precision outside the accumulator.  The ring
-    garbage story is identical to the bf16 kernel, except int8 has no NaNs —
-    the where-mask is still used so ring values can't reach interior taps.
+    x_ref (rows, cin) int8 at scale s_x.  The wrapper folds every scalar
+    requant factor into the per-channel vectors before the call: sw1 :=
+    sw1*s_x/s_z1, b1 := b1/s_z1, sw2p := sw2p*s_z1/s_z2, b2 := b2/s_z2,
+    sw3 := sw3*s_z2/s_y, b3 := b3/s_y (swd/bd likewise with s_x/s_y), so
+    each epilogue is one fused multiply-add + relu + round/clip — the
+    epilogues are the kernel's VPU bill and every removed per-element op
+    counts.  s_ref (SMEM, (1,)) holds only the identity-residual scale
+    s_x/s_y.  mask_ref (rows, 1) is the interior mask pre-tiled over bt
+    (multiply replaces the old reshape/where/reshape dance; int8 garbage is
+    finite so mask-by-multiply is exact).
     """
     rows = bt * hp * wp
-    s_x, s_z1, s_z2, s_y = s_ref[0], s_ref[1], s_ref[2], s_ref[3]
+    s_res = s_ref[0]
 
-    # --- conv1 (1x1, 4c -> c): int8 MXU dot, dequant+bias+relu+requant.
+    # --- conv1 (1x1, cin -> c): int8 MXU dot, fused dequant+bias+relu+mask.
+    # Per-channel rows come straight from refs (computed (1, c) values pick
+    # up offset layouts Mosaic can't broadcast); scalars multiply the big
+    # tensor directly.
     z1 = jax.lax.dot_general(
         x_ref[:], w1_ref[:],
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.int32,
     )
-    # Scalar factors multiply the big tensor directly; only pure ref-loaded
-    # per-channel rows broadcast against 2-D values (computed (1, c) values
-    # pick up offset layouts Mosaic can't broadcast — the s_x*row product
-    # and lane-offset slices of a (1, 3c) row both tripped this).
-    z1 = z1.astype(jnp.float32) * sw1_ref[:].astype(jnp.float32) * s_x
-    z1 = jnp.maximum(z1 + b1_ref[:].astype(jnp.float32), 0.0)
-    z1 = jnp.where(
-        mask_ref[:].reshape(1, hp * wp, 1) > 0, z1.reshape(bt, hp * wp, c), 0.0
+    z1 = jnp.maximum(
+        z1.astype(jnp.float32) * sw1_ref[:].astype(jnp.float32)
+        + b1_ref[:].astype(jnp.float32),
+        0.0,
     )
-    z1 = jnp.clip(
-        jnp.round(z1.reshape(rows, c) * (1.0 / s_z1)), -127.0, 127.0
-    ).astype(jnp.int8)
+    z1 = z1 * mask_ref[:]
+    z1 = jnp.clip(jnp.round(z1), -127.0, 127.0).astype(jnp.int8)
 
     z1_ref[0 : wp + 8, :] = jnp.zeros((wp + 8, 3 * c), z1_ref.dtype)
     z1_ref[rows + wp - 8 : rows + 2 * wp, :] = jnp.zeros((wp + 8, 3 * c), z1_ref.dtype)
@@ -381,8 +383,8 @@ def _chained_kernel_int8(
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.int32,
     )
-    # sw2p_ref is (3, c): row kh holds that kh block's per-j scales, sliced
-    # on SUBLANES (clean layout); the common s_z1 factor scales the sum once.
+    # sw2p_ref is (3, c): row kh holds that kh block's per-j scales (already
+    # folded with s_z1/s_z2), sliced on SUBLANES (clean layout).
     acc2 = (
         jax.lax.slice(P, (0, 0), (rows, c)).astype(jnp.float32)
         * sw2p_ref[0:1, :].astype(jnp.float32)
@@ -391,8 +393,8 @@ def _chained_kernel_int8(
         + jax.lax.slice(P, (2 * wp, 2 * c), (2 * wp + rows, 3 * c)).astype(jnp.float32)
         * sw2p_ref[2:3, :].astype(jnp.float32)
     )
-    z2 = jnp.maximum(acc2 * s_z1 + b2_ref[:].astype(jnp.float32), 0.0)
-    z2 = jnp.clip(jnp.round(z2 * (1.0 / s_z2)), -127.0, 127.0).astype(jnp.int8)
+    z2 = jnp.maximum(acc2 + b2_ref[:].astype(jnp.float32), 0.0)
+    z2 = jnp.clip(jnp.round(z2), -127.0, 127.0).astype(jnp.int8)
 
     # --- conv3 (1x1, c -> 4c) + residual (dequantized x) + ReLU, chunked.
     chunk = rows
@@ -405,10 +407,10 @@ def _chained_kernel_int8(
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.int32,
         )
-        y = y.astype(jnp.float32) * sw3_ref[:].astype(jnp.float32) * s_z2
+        y = y.astype(jnp.float32) * sw3_ref[:].astype(jnp.float32)
         y = y + b3_ref[:].astype(jnp.float32)
         if wd_ref is None:
-            y = y + x_ref[lo : lo + chunk, :].astype(jnp.float32) * s_x
+            y = y + x_ref[lo : lo + chunk, :].astype(jnp.float32) * s_res
         else:
             # Projection shortcut (layer1 block0): the residual is a 1x1
             # conv of x (cin -> 4c) instead of x itself — one more int8 dot
@@ -419,13 +421,13 @@ def _chained_kernel_int8(
                 preferred_element_type=jnp.int32,
             )
             y = y + (
-                sc.astype(jnp.float32) * swd_ref[:].astype(jnp.float32) * s_x
+                sc.astype(jnp.float32) * swd_ref[:].astype(jnp.float32)
                 + bd_ref[:].astype(jnp.float32)
             )
         y = jnp.maximum(y, 0.0)
         if emit_i8:
             o_ref[lo : lo + chunk, :] = jnp.clip(
-                jnp.round(y * (1.0 / s_y)), -127.0, 127.0
+                jnp.round(y), -127.0, 127.0
             ).astype(jnp.int8)
         else:
             o_ref[lo : lo + chunk, :] = y.astype(o_ref.dtype)
@@ -493,12 +495,27 @@ def bottleneck_block_chained_int8(
     assert b * hp * wp == total_rows and cin_in == cin, (xq.shape, (b, hp, wp, cin))
     bt = bt or _pick_bt_chain_int8(b, hp, wp, c, max(cin, c4))
 
+    rows = bt * hp * wp
+    out_dtype = jnp.int8 if emit_i8 else jnp.bfloat16
+
+    # Host-side scale folding (see _chained_kernel_int8 docstring): all
+    # scalar requant factors move into the per-channel vectors so the
+    # kernel's per-element epilogues shrink to one multiply-add each.
+    # The bf16 exit (emit_i8=False) emits UNSCALED activations: s_y = 1.
+    s_x, s_z1, s_z2 = scales[0], scales[1], scales[2]
+    s_y = scales[3] if emit_i8 else jnp.float32(1.0)
+    a1 = (sw1.astype(jnp.float32) * (s_x / s_z1))[None, :]
+    c1 = (b1.astype(jnp.float32) * (1.0 / s_z1))[None, :]
+    a2 = (sw2p.astype(jnp.float32) * (s_z1 / s_z2)).reshape(3, c)
+    c2 = (b2.astype(jnp.float32) * (1.0 / s_z2))[None, :]
+    a3 = (sw3.astype(jnp.float32) * (s_z2 / s_y))[None, :]
+    c3 = (b3.astype(jnp.float32) * (1.0 / s_y))[None, :]
+    s_res = jnp.reshape(s_x / s_y, (1,)).astype(jnp.float32)
+
     row_ids = jax.lax.broadcasted_iota(jnp.int32, (hp * wp, 1), 0)
     r, cc = row_ids // wp, row_ids % wp
     mask = ((r >= 1) & (r <= h) & (cc >= 1) & (cc <= w_sp)).astype(jnp.float32)
-
-    rows = bt * hp * wp
-    out_dtype = jnp.int8 if emit_i8 else jnp.bfloat16
+    mask_t = jnp.tile(mask, (bt, 1))
 
     in_specs = [
         pl.BlockSpec((rows, cin), lambda i: (i, 0)),
@@ -508,24 +525,26 @@ def bottleneck_block_chained_int8(
         pl.BlockSpec((1, c), lambda i: (0, 0)),
         pl.BlockSpec((c, c4), lambda i: (0, 0)),
         pl.BlockSpec((1, c4), lambda i: (0, 0)),
-        pl.BlockSpec((hp * wp, 1), lambda i: (0, 0)),
+        pl.BlockSpec((rows, 1), lambda i: (0, 0)),
         pl.BlockSpec((1, c), lambda i: (0, 0)),
         pl.BlockSpec((3, c), lambda i: (0, 0)),
         pl.BlockSpec((1, c4), lambda i: (0, 0)),
     ]
     operands = [
-        xq, w1q, b1[None, :], w2pq, b2[None, :], w3q, b3[None, :], mask,
-        sw1[None, :], sw2p.reshape(3, c), sw3[None, :],
+        xq, w1q, c1, w2pq, c2, w3q, c3, mask_t,
+        a1, a2, a3,
     ]
     if has_ds:
+        ad = (swd.astype(jnp.float32) * (s_x / s_y))[None, :]
+        cd = (bd.astype(jnp.float32) * (1.0 / s_y))[None, :]
         in_specs += [
             pl.BlockSpec((cin, c4), lambda i: (0, 0)),
             pl.BlockSpec((1, c4), lambda i: (0, 0)),
             pl.BlockSpec((1, c4), lambda i: (0, 0)),
         ]
-        operands += [wdq, swd[None, :], bd[None, :]]
+        operands += [wdq, ad, cd]
     in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
-    operands.append(scales)
+    operands.append(s_res)
 
     def kernel(*refs):
         if has_ds:
@@ -583,8 +602,8 @@ def bottleneck_block_chained_int8(
 def _ds_block_s2_kernel(
     pl_ref, w1_ref, b1_ref, w2_ref, b2_ref, w3_ref, b3_ref,
     wd_ref, bd_ref, mask_ref,
-    sw1_ref, sw2_ref, sw3_ref, swd_ref, s_ref,
-    o_ref, z1p_ref,
+    sw1_ref, sw2_ref, sw3_ref, swd_ref,
+    o_ref, z1w_ref,
     *, bt, hq, wq, hp2, wp2, c, c4, emit_i8,
 ):
     """pl_ref: (4, rows, cin) int8 phase planes of the INPUT stage's chain
@@ -595,60 +614,80 @@ def _ds_block_s2_kernel(
     in-image mapping compact-conv-row u -> output chain row u + wp2 + 1 a
     flat shift, so only per-image base offsets differ.
 
-    s_ref (SMEM, (4,)): [s_x, s_z1, s_z2, s_y].  conv2's weight scales are
-    joint per output channel (sw2, (1, c)) so the nine tap dots accumulate
-    in int32 before a single dequant.
+    Requant scales are HOST-FOLDED (see _chained_kernel_int8): sw1 :=
+    sw1*s_x/s_z1, b1 := b1/s_z1, sw2 := sw2*s_z1/s_z2 (joint per output
+    channel — the tap dots accumulate in int32 before one dequant),
+    b2 := b2/s_z2, sw3 := sw3*s_z2/s_y, b3 := b3/s_y, swd := swd*s_x/s_y,
+    bd := bd/s_y.  mask_ref (4, rows, 1) is pre-tiled over bt.
+
+    conv2 runs as THREE aligned K=3c dots, not nine: tap (u, v) needs plane
+    (u%2, v%2) at row offset (u//2)*wq + (v//2), and the +1 offsets of the
+    v=2 taps are unaligned sublane reads (a per-tap row rotate — the exact
+    trap the bf16 megakernel history records).  Instead conv1 writes each
+    ph-row of planes into an interleaved scratch z1w (2, rows, 3c) with
+    lanes [0:c] = pw0, [c:2c] = pw1, [2c:3c] = pw0 shifted up one row; the
+    three v-taps of each u then sit in one (M, 3c) aligned slice at offset
+    (u//2)*wq (wq is 8-aligned), against w2 packed (3, 3c, c).
     """
     rows = bt * hq * wq
-    s_x, s_z1, s_z2, s_y = s_ref[0], s_ref[1], s_ref[2], s_ref[3]
 
-    # --- conv1 (1x1, cin -> c) on each phase plane, masked + requantized.
-    # Flat over all bt images: conv1 is per-pixel, image boundaries don't
-    # matter here.
-    for p in range(4):
-        zp = jax.lax.dot_general(
-            pl_ref[p], w1_ref[:],
+    # --- conv1 (1x1, cin -> c) on each phase plane, masked + requantized,
+    # stored into the interleaved scratch.  Flat over all bt images: conv1
+    # is per-pixel, image boundaries don't matter here.
+    for ph in range(2):
+        for pw in range(2):
+            p = ph * 2 + pw
+            zp = jax.lax.dot_general(
+                pl_ref[p], w1_ref[:],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )
+            zp = jnp.maximum(
+                zp.astype(jnp.float32) * sw1_ref[:].astype(jnp.float32)
+                + b1_ref[:].astype(jnp.float32),
+                0.0,
+            )
+            zp = zp * mask_ref[p]
+            zq = jnp.clip(jnp.round(zp), -127.0, 127.0).astype(jnp.int8)
+            if pw == 0:
+                z1w_ref[ph, :, 0:c] = zq
+                # +1-row shifted copy for the v=2 taps; the last row is
+                # never read (max tap row = rows - 2).
+                z1w_ref[ph, 0 : rows - 1, 2 * c : 3 * c] = (
+                    jax.lax.slice_in_dim(zq, 1, rows, axis=0)
+                )
+            else:
+                z1w_ref[ph, :, c : 2 * c] = zq
+
+    # --- conv2 (3x3 stride 2): three aligned (M, 3c) @ (3c, c) int8 dots
+    # over the FULL multi-image block (M = rows - wq - 1) — per-image dots
+    # were too small for the MXU (measured 2.5x slower at L3b0, bt=4).
+    # Rows whose taps would cross an image boundary are garbage, but every
+    # row the store keeps (u < n_u within its image) taps only its own
+    # image: max index = base + n_u - 1 + wq + 1 < base + hq*wq.
+    M = rows - wq - 1
+    n_u = hq * wq - wq - 1  # per-image compact rows worth storing
+    acc = None
+    for u in range(3):
+        off = (u // 2) * wq
+        contrib = jax.lax.dot_general(
+            z1w_ref[u % 2, off : off + M, :], w2_ref[u],
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.int32,
         )
-        zp = zp.astype(jnp.float32) * sw1_ref[:].astype(jnp.float32) * s_x
-        zp = jnp.maximum(zp + b1_ref[:].astype(jnp.float32), 0.0)
-        zp = jnp.where(
-            mask_ref[p].reshape(1, hq * wq, 1) > 0,
-            zp.reshape(bt, hq * wq, c),
-            0.0,
-        )
-        z1p_ref[p] = jnp.clip(
-            jnp.round(zp.reshape(rows, c) * (1.0 / s_z1)), -127.0, 127.0
-        ).astype(jnp.int8)
+        acc = contrib if acc is None else acc + contrib
+    z2 = acc.astype(jnp.float32) * sw2_ref[:].astype(jnp.float32)
+    z2 = jnp.maximum(z2 + b2_ref[:].astype(jnp.float32), 0.0)
+    z2 = jnp.clip(jnp.round(z2), -127.0, 127.0).astype(jnp.int8)
 
-    # --- conv2 (3x3 stride 2) + conv3 + shortcut, per image: plane geometry
-    # (hq, wq) and output chain geometry (hp2, wp2) differ in H (hq = hp/2 of
-    # the INPUT stage; hp2 = oh + 2), so row offsets are per-image.  wq ==
-    # wp2 keeps the in-image mapping one flat shift: compact conv row
-    # u = r*wq + cc  ->  output chain row u + wp2 + 1.
-    n_u = hq * wq - wq - 1  # covers all interior rows; max tap off = wq + 1
+    # --- conv3 (1x1, c -> 4c) + projection shortcut + ReLU, per image (the
+    # store offset shifts by hp2*wp2 - hq*wq between images; plane geometry
+    # (hq, wq) and output chain geometry (hp2, wp2) differ in H).  wq == wp2
+    # keeps the in-image mapping one flat shift: compact conv row
+    # u = r*wq + cc -> output chain row u + wp2 + 1.  The stride-2 1x1
+    # shortcut reads x[2r, 2c] = plane (1,1) at the SAME compact row index.
     for k in range(bt):
         base = k * hq * wq
-        acc = None
-        for u in range(3):
-            for v in range(3):
-                phase = (u % 2) * 2 + (v % 2)
-                off = base + (u // 2) * wq + (v // 2)
-                contrib = jax.lax.dot_general(
-                    z1p_ref[phase, off : off + n_u, :], w2_ref[u, v],
-                    dimension_numbers=(((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.int32,
-                )
-                acc = contrib if acc is None else acc + contrib
-        z2 = acc.astype(jnp.float32) * sw2_ref[:].astype(jnp.float32) * s_z1
-        z2 = jnp.maximum(z2 + b2_ref[:].astype(jnp.float32), 0.0)
-        z2 = jnp.clip(jnp.round(z2 * (1.0 / s_z2)), -127.0, 127.0).astype(jnp.int8)
-
-        # conv3 (1x1, c -> 4c) + projection shortcut + ReLU; shifted store
-        # into the output chain layout (ring rows stay garbage).  The
-        # stride-2 1x1 shortcut reads x[2r, 2c] = plane (1,1) at the SAME
-        # compact row index u.
         obase = k * hp2 * wp2 + wp2 + 1
         chunk = n_u
         while chunk > 1024 and chunk % 2 == 0:
@@ -656,11 +695,12 @@ def _ds_block_s2_kernel(
         for lo in range(0, n_u, chunk):
             n = min(chunk, n_u - lo)
             y = jax.lax.dot_general(
-                jax.lax.slice_in_dim(z2, lo, lo + n, axis=0), w3_ref[:],
+                jax.lax.slice_in_dim(z2, base + lo, base + lo + n, axis=0),
+                w3_ref[:],
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.int32,
             )
-            y = y.astype(jnp.float32) * sw3_ref[:].astype(jnp.float32) * s_z2
+            y = y.astype(jnp.float32) * sw3_ref[:].astype(jnp.float32)
             y = y + b3_ref[:].astype(jnp.float32)
             sc = jax.lax.dot_general(
                 pl_ref[3, base + lo : base + lo + n, :], wd_ref[:],
@@ -668,13 +708,13 @@ def _ds_block_s2_kernel(
                 preferred_element_type=jnp.int32,
             )
             y = y + (
-                sc.astype(jnp.float32) * swd_ref[:].astype(jnp.float32) * s_x
+                sc.astype(jnp.float32) * swd_ref[:].astype(jnp.float32)
                 + bd_ref[:].astype(jnp.float32)
             )
             y = jnp.maximum(y, 0.0)
             if emit_i8:
                 o_ref[obase + lo : obase + lo + n, :] = jnp.clip(
-                    jnp.round(y * (1.0 / s_y)), -127.0, 127.0
+                    jnp.round(y), -127.0, 127.0
                 ).astype(jnp.int8)
             else:
                 o_ref[obase + lo : obase + lo + n, :] = y.astype(o_ref.dtype)
@@ -691,7 +731,7 @@ def _pick_bt_ds_s2(b: int, hq: int, wq: int, cin: int, c: int, c4: int) -> int:
         rows = bt * hq * wq
         work = (
             4 * rows * cin * 1     # phase planes (int8)
-            + 4 * rows * c * 1     # z1 planes (int8)
+            + 6 * rows * c * 1     # interleaved z1 scratch (2, rows, 3c)
             + rows * c * 4         # conv2 int32 accumulator
             + rows * c4 * 1        # output block
             + weights
@@ -780,6 +820,20 @@ def downsample_block_s2_int8(
             for pw in range(2)
         ]
     )
+    masks_t = jnp.tile(masks, (1, bt, 1))
+
+    # Host-side scale folding (see kernel docstring).  The bf16 exit
+    # (emit_i8=False) emits UNSCALED activations: s_y = 1.
+    s_x, s_z1, s_z2 = scales[0], scales[1], scales[2]
+    s_y = scales[3] if emit_i8 else jnp.float32(1.0)
+    a1 = (sw1.astype(jnp.float32) * (s_x / s_z1))[None, :]
+    c1 = (b1.astype(jnp.float32) * (1.0 / s_z1))[None, :]
+    a2 = (sw2.astype(jnp.float32) * (s_z1 / s_z2))[None, :]
+    c2 = (b2.astype(jnp.float32) * (1.0 / s_z2))[None, :]
+    a3 = (sw3.astype(jnp.float32) * (s_z2 / s_y))[None, :]
+    c3 = (b3.astype(jnp.float32) * (1.0 / s_y))[None, :]
+    ad = (swd.astype(jnp.float32) * (s_x / s_y))[None, :]
+    cd = (bd.astype(jnp.float32) * (1.0 / s_y))[None, :]
 
     rows = bt * hq * wq
     rows_out = bt * hp2 * wp2
@@ -795,23 +849,22 @@ def downsample_block_s2_int8(
             pl.BlockSpec((4, rows, cin), lambda i: (0, i, 0)),
             pl.BlockSpec((cin, c), lambda i: (0, 0)),
             pl.BlockSpec((1, c), lambda i: (0, 0)),
-            pl.BlockSpec((3, 3, c, c), lambda i: (0, 0, 0, 0)),
+            pl.BlockSpec((3, 3 * c, c), lambda i: (0, 0, 0)),
             pl.BlockSpec((1, c), lambda i: (0, 0)),
             pl.BlockSpec((c, c4), lambda i: (0, 0)),
             pl.BlockSpec((1, c4), lambda i: (0, 0)),
             pl.BlockSpec((cin, c4), lambda i: (0, 0)),
             pl.BlockSpec((1, c4), lambda i: (0, 0)),
-            pl.BlockSpec((4, hq * wq, 1), lambda i: (0, 0, 0)),
+            pl.BlockSpec((4, rows, 1), lambda i: (0, 0, 0)),
             pl.BlockSpec((1, c), lambda i: (0, 0)),
             pl.BlockSpec((1, c), lambda i: (0, 0)),
             pl.BlockSpec((1, c4), lambda i: (0, 0)),
             pl.BlockSpec((1, c4), lambda i: (0, 0)),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         out_specs=pl.BlockSpec((rows_out, c4), lambda i: (i, 0)),
         out_shape=jax.ShapeDtypeStruct((b * hp2 * wp2, c4), out_dtype),
         scratch_shapes=[
-            pltpu.VMEM((4, rows, c), jnp.int8),  # z1 phase planes
+            pltpu.VMEM((2, rows, 3 * c), jnp.int8),  # interleaved z1 planes
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel",),
@@ -823,9 +876,9 @@ def downsample_block_s2_int8(
         ),
         interpret=interpret,
     )(
-        planes, w1q, b1[None, :], w2q, b2[None, :], w3q, b3[None, :],
-        wdq, bd[None, :], masks,
-        sw1[None, :], sw2[None, :], sw3[None, :], swd[None, :], scales,
+        planes, w1q, c1, w2q.reshape(3, 3 * c, c), c2, w3q, c3,
+        wdq, cd, masks_t,
+        a1, a2, a3, ad,
     )
 
 
