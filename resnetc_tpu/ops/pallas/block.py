@@ -334,7 +334,7 @@ def _chained_kernel_int8(
     x_ref, w1_ref, b1_ref, w2p_ref, b2_ref, w3_ref, b3_ref, mask_ref,
     sw1_ref, sw2p_ref, sw3_ref, s_ref,
     o_ref, z1_ref,
-    *, bt, hp, wp, c, c4, emit_i8,
+    *, bt, hp, wp, c, c4, slot, emit_i8,
     wd_ref=None, swd_ref=None, bd_ref=None,
 ):
     """Int8 twin of _chained_kernel, with HOST-FOLDED requant scales.
@@ -370,10 +370,17 @@ def _chained_kernel_int8(
     z1 = z1 * mask_ref[:]
     z1 = jnp.clip(jnp.round(z1), -127.0, 127.0).astype(jnp.int8)
 
-    z1_ref[0 : wp + 8, :] = jnp.zeros((wp + 8, 3 * c), z1_ref.dtype)
-    z1_ref[rows + wp - 8 : rows + 2 * wp, :] = jnp.zeros((wp + 8, 3 * c), z1_ref.dtype)
+    # kw slots are padded to `slot` lanes (slot = c rounded up to 128): at
+    # c=64 the raw kw*c offsets are 64-lane-misaligned int8 stores — a lane
+    # rotate per store that measured ~3x on the whole L1 kernel.  The
+    # padded weight rows are ZERO at the slot tails, so slot-lane garbage
+    # contributes nothing and needs no zeroing.
+    z1_ref[0 : wp + 8, :] = jnp.zeros((wp + 8, 3 * slot), z1_ref.dtype)
+    z1_ref[rows + wp - 8 : rows + 2 * wp, :] = jnp.zeros(
+        (wp + 8, 3 * slot), z1_ref.dtype
+    )
     for kw in range(3):
-        z1_ref[wp + 1 - kw : wp + 1 - kw + rows, kw * c : (kw + 1) * c] = z1
+        z1_ref[wp + 1 - kw : wp + 1 - kw + rows, kw * slot : kw * slot + c] = z1
 
     # --- conv2 (3x3 s1): one int8 MXU pass, kh batched into N.  The packed
     # weight's per-column scales are per (kh, j), so each kh slice is
@@ -436,6 +443,7 @@ def _chained_kernel_int8(
 def _pick_bt_chain_int8(b: int, hp: int, wp: int, c: int, c4: int) -> int:
     """Largest divisor of B whose int8 chained working set fits VMEM budget."""
     budget = 9 * 2**20
+    slot = _round_up(c, 128)  # kw slots pad to full lane tiles (c=64 case)
     weights = c4 * c + 9 * c * c + c * c4  # int8: 1 byte each
     best = 1
     for bt in range(1, b + 1):
@@ -443,10 +451,10 @@ def _pick_bt_chain_int8(b: int, hp: int, wp: int, c: int, c4: int) -> int:
             continue
         rows = bt * hp * wp
         work = (
-            rows * c4 * 1                    # x block (int8)
-            + (rows + 2 * wp) * 3 * c * 1    # kw-interleaved z1 (int8)
-            + (rows + 2 * wp) * 3 * c * 4    # P (int32, stack)
-            + rows * c * 4                   # acc2 fp32
+            rows * c4 * 1                       # x block (int8)
+            + (rows + 2 * wp) * 3 * slot * 1    # kw-interleaved z1 (int8)
+            + (rows + 2 * wp) * 3 * c * 4       # P (int32, stack)
+            + rows * c * 4                      # acc2 fp32
             + weights
         )
         if work > budget:
@@ -498,6 +506,14 @@ def bottleneck_block_chained_int8(
     rows = bt * hp * wp
     out_dtype = jnp.int8 if emit_i8 else jnp.bfloat16
 
+    # kw slots padded to 128 lanes at c=64 (see kernel); the packed weight
+    # grows zero rows at each slot tail so slot-lane garbage multiplies 0.
+    slot = _round_up(c, 128)
+    if slot != c:
+        w2pq = jnp.pad(
+            w2pq.reshape(3, c, 3 * c), ((0, 0), (0, slot - c), (0, 0))
+        ).reshape(3 * slot, 3 * c)
+
     # Host-side scale folding (see _chained_kernel_int8 docstring): all
     # scalar requant factors move into the per-channel vectors so the
     # kernel's per-element epilogues shrink to one multiply-add each.
@@ -521,7 +537,7 @@ def bottleneck_block_chained_int8(
         pl.BlockSpec((rows, cin), lambda i: (i, 0)),
         pl.BlockSpec((cin, c), lambda i: (0, 0)),
         pl.BlockSpec((1, c), lambda i: (0, 0)),
-        pl.BlockSpec((3 * c, 3 * c), lambda i: (0, 0)),
+        pl.BlockSpec((3 * slot, 3 * c), lambda i: (0, 0)),
         pl.BlockSpec((1, c), lambda i: (0, 0)),
         pl.BlockSpec((c, c4), lambda i: (0, 0)),
         pl.BlockSpec((1, c4), lambda i: (0, 0)),
@@ -556,7 +572,7 @@ def bottleneck_block_chained_int8(
             wd = sd = bd_ = None
         _chained_kernel_int8(
             x, w1, b1_, w2p, b2_, w3, b3_, msk, s1, s2p, s3, s, o, z1,
-            bt=bt, hp=hp, wp=wp, c=c, c4=c4, emit_i8=emit_i8,
+            bt=bt, hp=hp, wp=wp, c=c, c4=c4, slot=slot, emit_i8=emit_i8,
             wd_ref=wd, swd_ref=sd, bd_ref=bd_,
         )
 
@@ -567,7 +583,7 @@ def bottleneck_block_chained_int8(
         out_specs=pl.BlockSpec((rows, c4), lambda i: (i, 0)),
         out_shape=jax.ShapeDtypeStruct((b * hp * wp, c4), out_dtype),
         scratch_shapes=[
-            pltpu.VMEM((rows + 2 * wp, 3 * c), jnp.int8),  # kw-interleaved z1
+            pltpu.VMEM((rows + 2 * wp, 3 * slot), jnp.int8),  # kw-interleaved z1
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel",),
@@ -589,30 +605,37 @@ def bottleneck_block_chained_int8(
 # shortcut at half res — x read once (as four int8 phase planes), y written
 # once, directly in the CHAIN layout so the following stride-1 chain needs no
 # entry pad.  The phase planes come straight from the producing stage's chain
-# buffer: the chain layout already carries the conv ring, and its (hp, wp)
-# are even with wp == 2*wp_next at every ResNet stage, so the split is a free
-# reshape + ONE efficient XLA transpose (measured 4.5x cheaper than the
-# pad + four strided slices it replaces — strided int8 slicing ran at ~13%
-# of HBM roofline).  Reference capability: main.cu:48-82 (ResnetBlock with
-# downsample); the decomposition is the phase-plane trick of conv_s2_fused
-# applied inside a block-level kernel.
+# buffer via MANUAL strided DMA: the chain layout already carries the conv
+# ring, and its (hp, wp) are even with wp == 2*wp_next at every ResNet
+# stage, so a free 6-D reshape exposes each plane as a rectangular subarray
+# that the DMA engine gathers at full rate.  (The XLA-side alternatives are
+# all measured disasters: four strided int8 slices ran at ~13% of HBM
+# roofline, the fine-grained W-interleave transpose at ~70 GB/s cost ~3 ms
+# alone at the L2 shape, and in-kernel lane repacking of int8 was 3x slower
+# than the plain kernel.)  Reference capability: main.cu:48-82 (ResnetBlock
+# with downsample); the decomposition is the phase-plane trick of
+# conv_s2_fused applied inside a block-level kernel.
 # ---------------------------------------------------------------------------
 
 
 def _ds_block_s2_kernel(
-    pl_ref, w1_ref, b1_ref, w2_ref, b2_ref, w3_ref, b3_ref,
+    x6_ref, w1_ref, b1_ref, w2_ref, b2_ref, w3_ref, b3_ref,
     wd_ref, bd_ref, mask_ref,
     sw1_ref, sw2_ref, sw3_ref, swd_ref,
-    o_ref, z1w_ref,
-    *, bt, hq, wq, hp2, wp2, c, c4, emit_i8,
+    o_ref, pl_ref, z1w_ref, dma_sems,
+    *, bt, hq, wq, hp2, wp2, c, cin, c4, emit_i8,
 ):
-    """pl_ref: (4, rows, cin) int8 phase planes of the INPUT stage's chain
-    buffer (plane (ph,pw)[i,j] = chain[2i+ph, 2j+pw] = x_pad[2i+ph, 2j+pw]
-    where x_pad is x with its 1-pixel conv ring; ring garbage is masked after
-    conv1).  (hq, wq) = (hp/2, wp/2) of the input chain; (hp2, wp2) is the
-    OUTPUT stage's chain geometry.  wq == wp2 is required: it makes the
-    in-image mapping compact-conv-row u -> output chain row u + wp2 + 1 a
-    flat shift, so only per-image base offsets differ.
+    """x6_ref: the INPUT stage's chain buffer left in HBM/ANY, viewed
+    (B, hq, 2, wq, 2, cin) — a free reshape of the flat chain rows; plane
+    (ph, pw)[i, j] = chain[2i+ph, 2j+pw] = x_pad[2i+ph, 2j+pw] (ring
+    garbage is masked after conv1).  The kernel prologue DMAs the four
+    planes for its bt images into pl_ref (4, bt, hq, wq, cin) — each a
+    rectangular strided subarray the DMA engine handles natively.
+
+    (hq, wq) = (hp/2, wp/2) of the input chain; (hp2, wp2) is the OUTPUT
+    stage's chain geometry.  wq == wp2 is required: it makes the in-image
+    mapping compact-conv-row u -> output chain row u + wp2 + 1 a flat
+    shift, so only per-image base offsets differ.
 
     Requant scales are HOST-FOLDED (see _chained_kernel_int8): sw1 :=
     sw1*s_x/s_z1, b1 := b1/s_z1, sw2 := sw2*s_z1/s_z2 (joint per output
@@ -630,6 +653,32 @@ def _ds_block_s2_kernel(
     (u//2)*wq (wq is 8-aligned), against w2 packed (3, 3c, c).
     """
     rows = bt * hq * wq
+    k0 = pl.program_id(0) * bt
+
+    # --- plane gather: four strided DMAs, started together then awaited.
+    # The source view is (B, hq, 2, wq, 2*cin): ph is an untiled major dim
+    # (sliceable), and the W-pair lives in the LANE dim where a cin-sized
+    # slice at a cin multiple is tile-aligned — slicing a separate size-2
+    # pw dim in the tiled minor zone is rejected by Mosaic ("slice along
+    # dimension 4 must be aligned to tiling").
+    dmas = []
+    for ph in range(2):
+        for pw in range(2):
+            p = ph * 2 + pw
+            dma = pltpu.make_async_copy(
+                x6_ref.at[
+                    pl.ds(k0, bt), :, ph, :, pl.ds(pw * cin, cin)
+                ],
+                pl_ref.at[p],
+                dma_sems.at[p],
+            )
+            dma.start()
+            dmas.append(dma)
+    for dma in dmas:
+        dma.wait()
+
+    def plane(p):
+        return pl_ref[p].reshape(rows, cin)
 
     # --- conv1 (1x1, cin -> c) on each phase plane, masked + requantized,
     # stored into the interleaved scratch.  Flat over all bt images: conv1
@@ -638,7 +687,7 @@ def _ds_block_s2_kernel(
         for pw in range(2):
             p = ph * 2 + pw
             zp = jax.lax.dot_general(
-                pl_ref[p], w1_ref[:],
+                plane(p), w1_ref[:],
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.int32,
             )
@@ -686,6 +735,7 @@ def _ds_block_s2_kernel(
     # keeps the in-image mapping one flat shift: compact conv row
     # u = r*wq + cc -> output chain row u + wp2 + 1.  The stride-2 1x1
     # shortcut reads x[2r, 2c] = plane (1,1) at the SAME compact row index.
+    pl3 = plane(3)
     for k in range(bt):
         base = k * hq * wq
         obase = k * hp2 * wp2 + wp2 + 1
@@ -703,7 +753,8 @@ def _ds_block_s2_kernel(
             y = y.astype(jnp.float32) * sw3_ref[:].astype(jnp.float32)
             y = y + b3_ref[:].astype(jnp.float32)
             sc = jax.lax.dot_general(
-                pl_ref[3, base + lo : base + lo + n, :], wd_ref[:],
+                jax.lax.slice_in_dim(pl3, base + lo, base + lo + n, axis=0),
+                wd_ref[:],
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.int32,
             )
@@ -777,33 +828,25 @@ def downsample_block_s2_int8(
     hp2, wp2 = chain_meta(0, oh, ow)
     hq, wq = hp // 2, wp // 2
     # Fast path (holds at every 224-input ResNet stage; see kernel
-    # docstring): phase planes straight from the chain buffer — chain row
+    # docstring): a FREE 6-D reshape of the chain buffer — chain row
     # (2i+ph, 2j+pw) IS x_pad[2i+ph, 2j+pw] (the chain layout carries the
-    # conv ring).  The reshape splits H/W by 2 for free; the single
-    # transpose is the only data movement.
+    # conv ring) — exposes each plane as a rectangular subarray the kernel
+    # gathers itself with strided DMA.  No XLA-side data movement at all.
     direct = (
         hp % 2 == 0 and wp % 2 == 0 and wq == wp2 and hp2 >= hq + 1
     )
     if direct:
-        planes = (
-            xr.reshape(b, hq, 2, wq, 2, cin)
-            .transpose(2, 4, 0, 1, 3, 5)
-            .reshape(4, b * hq * wq, cin)
-        )
+        x6 = xr.reshape(b, hq, 2, wq, 2 * cin)
     else:
         # Generic geometry (other input sizes): rebuild an equal-geometry
-        # padded buffer (hq, wq) == (hp2, wp2), still split via the
-        # reshape+transpose (never strided slices).
+        # padded buffer (hq, wq) == (hp2, wp2); the kernel then DMA-gathers
+        # from it the same way.
         hq, wq = hp2, wp2
         x = xr.reshape(b, hp, wp, cin)[:, 1 : 1 + h, 1 : 1 + w_sp, :]
         x_pad = jnp.pad(
             x, ((0, 0), (1, 2 * hq - 1 - h), (1, 2 * wq - 1 - w_sp), (0, 0))
         )
-        planes = (
-            x_pad.reshape(b, hq, 2, wq, 2, cin)
-            .transpose(2, 4, 0, 1, 3, 5)
-            .reshape(4, b * hq * wq, cin)
-        )
+        x6 = x_pad.reshape(b, hq, 2, wq, 2 * cin)
     bt = bt or _pick_bt_ds_s2(b, hq, wq, cin, c, c4)
 
     # Per-plane interior masks: plane position (i, j) is a real x pixel iff
@@ -841,12 +884,12 @@ def downsample_block_s2_int8(
     return pl.pallas_call(
         functools.partial(
             _ds_block_s2_kernel,
-            bt=bt, hq=hq, wq=wq, hp2=hp2, wp2=wp2, c=c, c4=c4,
+            bt=bt, hq=hq, wq=wq, hp2=hp2, wp2=wp2, c=c, cin=cin, c4=c4,
             emit_i8=emit_i8,
         ),
         grid=(b // bt,),
         in_specs=[
-            pl.BlockSpec((4, rows, cin), lambda i: (0, i, 0)),
+            pl.BlockSpec(memory_space=pltpu.ANY),  # x6: kernel DMAs planes
             pl.BlockSpec((cin, c), lambda i: (0, 0)),
             pl.BlockSpec((1, c), lambda i: (0, 0)),
             pl.BlockSpec((3, 3 * c, c), lambda i: (0, 0, 0)),
@@ -864,10 +907,12 @@ def downsample_block_s2_int8(
         out_specs=pl.BlockSpec((rows_out, c4), lambda i: (i, 0)),
         out_shape=jax.ShapeDtypeStruct((b * hp2 * wp2, c4), out_dtype),
         scratch_shapes=[
+            pltpu.VMEM((4, bt, hq, wq, cin), jnp.int8),  # DMA'd phase planes
             pltpu.VMEM((2, rows, 3 * c), jnp.int8),  # interleaved z1 planes
+            pltpu.SemaphoreType.DMA((4,)),
         ],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel",),
+            dimension_semantics=("arbitrary",),
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * b * hq * wq * (cin * c + 9 * c * c + c * c4 + cin * c4),
@@ -876,7 +921,7 @@ def downsample_block_s2_int8(
         ),
         interpret=interpret,
     )(
-        planes, w1q, c1, w2q.reshape(3, 3 * c, c), c2, w3q, c3,
+        x6, w1q, c1, w2q.reshape(3, 3 * c, c), c2, w3q, c3,
         wdq, cd, masks_t,
         a1, a2, a3, ad,
     )

@@ -76,21 +76,25 @@ def main() -> int:
             * (cin * c + 9 * c * c + c * c4 + cin * c4) / 1e9
         )
 
-        sec_g = chained_seconds_per_iter(
-            lambda x: gather_only(x, h, h, args.batch), xr, iters=args.iters
-        )
-
-        def full(x):
-            return downsample_block_s2_int8(
-                x,
+        # Salt-carry harness: xr closed over (the kernel's own HBM reads are
+        # the thing measured); tiny salt perturbs the scales so the call
+        # can't be hoisted; tiny sliced return keeps harness feedback off
+        # the books (pallas_call is opaque — the kernel still runs whole).
+        def full(salt):
+            s = scales + jnp.sum(salt) * 1e-30
+            out = downsample_block_s2_int8(
+                xr,
                 q["w1q"], q["sw1"], q["b1"],
                 q["w2q"], q["sw2"], q["b2"],
                 q["w3q"], q["sw3"], q["b3"],
                 q["wdq"], q["swd"], q["bd"],
-                scales, h=h, w_sp=h, emit_i8=True,
+                s, h=h, w_sp=h, emit_i8=True,
             )
+            return jax.lax.slice(out, (0, 0), (8, 8)).astype(jnp.float32)
 
-        sec_f = chained_seconds_per_iter(full, xr, iters=args.iters)
+        salt0 = jnp.zeros((8, 8), jnp.float32)
+        sec_g = float("nan")  # no XLA-side gather remains to time
+        sec_f = chained_seconds_per_iter(full, salt0, iters=args.iters)
         print(
             f"{name}: full {sec_f*1e3:7.3f} ms  gather {sec_g*1e3:7.3f} ms  "
             f"bt={bt_def}  {gflop/sec_f/1e3:6.1f} TF/s eff", flush=True,
