@@ -600,6 +600,239 @@ def bottleneck_block_chained_int8(
 
 
 # ---------------------------------------------------------------------------
+# Stage-run megakernel (int8): a RUN of same-shape identity bottleneck
+# blocks in ONE kernel.  The per-block chain kernels are auto-DMA-bandwidth
+# bound (~340 GB/s effective through the blocked pipeline), so every block
+# boundary costs a full activation round trip; keeping the run's
+# activations in two VMEM ping-pong buffers removes (N-1) round trips —
+# at L1 (56², 486 MB per boundary) that is the stage's dominant cost.
+# ---------------------------------------------------------------------------
+
+
+def _run_chained_kernel_int8(
+    x_ref, w1s_ref, c1s_ref, w2ps_ref, c2s_ref, w3s_ref, c3s_ref, mask_ref,
+    a1s_ref, a2s_ref, a3s_ref, s_ref,
+    o_ref, z1_ref, act_ref,
+    *, n_blocks, bt, hp, wp, c, c4, slot, emit_i8,
+):
+    """N identity bottleneck blocks over one VMEM-resident activation.
+
+    Stacked per-block params: w1s (N*c4, c), w2ps (N*3*slot, 3c),
+    w3s (N*c, c4) int8; a1s/c1s (N, c), a2s (N*3, c), c2s (N, c),
+    a3s/c3s (N, c4) f32 — host-folded per block exactly like
+    _chained_kernel_int8 (block i's s_y is block i+1's s_x; the last
+    follows emit_i8).  s_ref (SMEM, (N,)): per-block identity-residual
+    scales.  act_ref (2, rows, c4) int8 ping-pong: block n reads
+    n == 0 ? x_ref : act[(n-1) % 2] and writes its int8 output to
+    act[n % 2]; the last block writes o_ref instead.
+    """
+    rows = bt * hp * wp
+
+    for n in range(n_blocks):
+        last = n == n_blocks - 1
+        x_full = x_ref[:] if n == 0 else act_ref[(n - 1) % 2]
+
+        z1 = jax.lax.dot_general(
+            x_full, w1s_ref[n * c4 : (n + 1) * c4, :],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        z1 = jnp.maximum(
+            z1.astype(jnp.float32) * a1s_ref[n : n + 1, :].astype(jnp.float32)
+            + c1s_ref[n : n + 1, :].astype(jnp.float32),
+            0.0,
+        )
+        z1 = z1 * mask_ref[:]
+        z1 = jnp.clip(jnp.round(z1), -127.0, 127.0).astype(jnp.int8)
+
+        z1_ref[0 : wp + 8, :] = jnp.zeros((wp + 8, 3 * slot), z1_ref.dtype)
+        z1_ref[rows + wp - 8 : rows + 2 * wp, :] = jnp.zeros(
+            (wp + 8, 3 * slot), z1_ref.dtype
+        )
+        for kw in range(3):
+            z1_ref[wp + 1 - kw : wp + 1 - kw + rows, kw * slot : kw * slot + c] = z1
+
+        P = jax.lax.dot_general(
+            z1_ref[:], w2ps_ref[n * 3 * slot : (n + 1) * 3 * slot, :],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        acc2 = (
+            jax.lax.slice(P, (0, 0), (rows, c)).astype(jnp.float32)
+            * a2s_ref[3 * n : 3 * n + 1, :].astype(jnp.float32)
+            + jax.lax.slice(P, (wp, c), (wp + rows, 2 * c)).astype(jnp.float32)
+            * a2s_ref[3 * n + 1 : 3 * n + 2, :].astype(jnp.float32)
+            + jax.lax.slice(P, (2 * wp, 2 * c), (2 * wp + rows, 3 * c)).astype(
+                jnp.float32
+            )
+            * a2s_ref[3 * n + 2 : 3 * n + 3, :].astype(jnp.float32)
+        )
+        z2 = jnp.maximum(acc2 + c2s_ref[n : n + 1, :].astype(jnp.float32), 0.0)
+        z2 = jnp.clip(jnp.round(z2), -127.0, 127.0).astype(jnp.int8)
+
+        s_res = s_ref[n]
+        chunk = rows
+        while chunk > 1024 and chunk % 2 == 0:
+            chunk //= 2
+        for lo in range(0, rows, chunk):
+            y = jax.lax.dot_general(
+                jax.lax.slice_in_dim(z2, lo, lo + chunk, axis=0),
+                w3s_ref[n * c : (n + 1) * c, :],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )
+            y = y.astype(jnp.float32) * a3s_ref[n : n + 1, :].astype(jnp.float32)
+            y = y + c3s_ref[n : n + 1, :].astype(jnp.float32)
+            if n == 0:
+                res = x_ref[lo : lo + chunk, :]
+            else:
+                res = act_ref[(n - 1) % 2, lo : lo + chunk, :]
+            y = y + res.astype(jnp.float32) * s_res
+            y = jnp.maximum(y, 0.0)
+            if last and not emit_i8:
+                o_ref[lo : lo + chunk, :] = y.astype(o_ref.dtype)
+            else:
+                yq = jnp.clip(jnp.round(y), -127.0, 127.0).astype(jnp.int8)
+                if last:
+                    o_ref[lo : lo + chunk, :] = yq
+                else:
+                    act_ref[n % 2, lo : lo + chunk, :] = yq
+
+
+def _pick_bt_run_int8(
+    b: int, hp: int, wp: int, c: int, c4: int, n_blocks: int
+) -> int:
+    """Largest divisor of B whose stage-run working set fits VMEM (0 if
+    even bt=1 does not fit — the caller falls back to per-block kernels)."""
+    budget = 12 * 2**20
+    slot = _round_up(c, 128)
+    weights = n_blocks * (c4 * c + 3 * slot * 3 * c + c * c4)
+    best = 0
+    for bt in range(1, b + 1):
+        if b % bt:
+            continue
+        rows = bt * hp * wp
+        work = (
+            rows * c4 * 1                       # x block
+            + 2 * rows * c4 * 1                 # act ping-pong
+            + (rows + 2 * wp) * 3 * slot * 1    # z1 interleave
+            + (rows + 2 * wp) * 3 * c * 4       # P (int32)
+            + rows * c * 4                      # acc2 fp32
+            + rows * c4 * 1                     # out block
+            + weights
+        )
+        if work > budget:
+            break
+        best = bt
+    return best
+
+
+@functools.partial(
+    jax.jit, static_argnames=("h", "w_sp", "emit_i8", "bt", "interpret")
+)
+def bottleneck_run_chained_int8(
+    xq: jax.Array,
+    w1q_s: jax.Array, sw1_s: jax.Array, b1_s: jax.Array,
+    w2pq_s: jax.Array, sw2p_s: jax.Array, b2_s: jax.Array,
+    w3q_s: jax.Array, sw3_s: jax.Array, b3_s: jax.Array,
+    scales_s: jax.Array,
+    *,
+    h: int, w_sp: int,
+    emit_i8: bool = True,
+    bt: int | None = None,
+    interpret: bool = False,
+) -> jax.Array:
+    """A run of N identity bottleneck blocks as ONE kernel (see
+    _run_chained_kernel_int8).  Stacked inputs: w1q_s (N, c4, c), sw1_s
+    (N, c), b1_s (N, c), w2pq_s (N, 3c, 3c), sw2p_s (N, 3c), b2_s (N, c),
+    w3q_s (N, c, c4), sw3_s/b3_s (N, c4); scales_s (N, 4) rows
+    [s_x, s_z1, s_z2, s_y] with row i's s_y equal to row i+1's s_x.
+    """
+    n_blocks, c4, c = w1q_s.shape
+    hp, wp = chain_meta(0, h, w_sp)
+    total_rows, cin_in = xq.shape
+    b = total_rows // (hp * wp)
+    assert b * hp * wp == total_rows and cin_in == c4, (xq.shape,)
+    bt = bt or _pick_bt_run_int8(b, hp, wp, c, c4, n_blocks)
+    assert bt > 0, "stage run does not fit VMEM; use per-block kernels"
+
+    rows = bt * hp * wp
+    out_dtype = jnp.int8 if emit_i8 else jnp.bfloat16
+    slot = _round_up(c, 128)
+    w2pq_pad = w2pq_s.reshape(n_blocks, 3, c, 3 * c)
+    if slot != c:
+        w2pq_pad = jnp.pad(w2pq_pad, ((0, 0), (0, 0), (0, slot - c), (0, 0)))
+    w2ps = w2pq_pad.reshape(n_blocks * 3 * slot, 3 * c)
+
+    # Per-block host-side folding (same contract as the single-block
+    # kernel; the last block's s_y is 1 when it exits to bf16).
+    s_x = scales_s[:, 0]
+    s_z1 = scales_s[:, 1]
+    s_z2 = scales_s[:, 2]
+    s_y = scales_s[:, 3]
+    if not emit_i8:
+        s_y = s_y.at[n_blocks - 1].set(1.0)
+    a1 = sw1_s.astype(jnp.float32) * (s_x / s_z1)[:, None]
+    c1 = b1_s.astype(jnp.float32) * (1.0 / s_z1)[:, None]
+    a2 = (
+        sw2p_s.astype(jnp.float32) * (s_z1 / s_z2)[:, None]
+    ).reshape(n_blocks * 3, c)
+    c2 = b2_s.astype(jnp.float32) * (1.0 / s_z2)[:, None]
+    a3 = sw3_s.astype(jnp.float32) * (s_z2 / s_y)[:, None]
+    c3 = b3_s.astype(jnp.float32) * (1.0 / s_y)[:, None]
+    s_res = (s_x / s_y).astype(jnp.float32)
+
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (hp * wp, 1), 0)
+    r, cc = row_ids // wp, row_ids % wp
+    mask = ((r >= 1) & (r <= h) & (cc >= 1) & (cc <= w_sp)).astype(jnp.float32)
+    mask_t = jnp.tile(mask, (bt, 1))
+
+    return pl.pallas_call(
+        functools.partial(
+            _run_chained_kernel_int8,
+            n_blocks=n_blocks, bt=bt, hp=hp, wp=wp, c=c, c4=c4, slot=slot,
+            emit_i8=emit_i8,
+        ),
+        grid=(b // bt,),
+        in_specs=[
+            pl.BlockSpec((rows, c4), lambda i: (i, 0)),
+            pl.BlockSpec((n_blocks * c4, c), lambda i: (0, 0)),
+            pl.BlockSpec((n_blocks, c), lambda i: (0, 0)),
+            pl.BlockSpec((n_blocks * 3 * slot, 3 * c), lambda i: (0, 0)),
+            pl.BlockSpec((n_blocks, c), lambda i: (0, 0)),
+            pl.BlockSpec((n_blocks * c, c4), lambda i: (0, 0)),
+            pl.BlockSpec((n_blocks, c4), lambda i: (0, 0)),
+            pl.BlockSpec((rows, 1), lambda i: (0, 0)),
+            pl.BlockSpec((n_blocks, c), lambda i: (0, 0)),
+            pl.BlockSpec((n_blocks * 3, c), lambda i: (0, 0)),
+            pl.BlockSpec((n_blocks, c4), lambda i: (0, 0)),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((rows, c4), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((b * hp * wp, c4), out_dtype),
+        scratch_shapes=[
+            pltpu.VMEM((rows + 2 * wp, 3 * slot), jnp.int8),
+            pltpu.VMEM((2, rows, c4), jnp.int8),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * hp * wp * n_blocks * (c4 * c + 9 * c * c + c * c4),
+            bytes_accessed=2 * b * hp * wp * c4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(
+        xq,
+        w1q_s.reshape(n_blocks * c4, c), c1, w2ps, c2,
+        w3q_s.reshape(n_blocks * c, c4), c3, mask_t,
+        a1, a2, a3,
+        s_res,
+    )
+
+
+# ---------------------------------------------------------------------------
 # Stride-2 downsample-block megakernel (int8): block 0 of layers 2-4 in one
 # kernel — conv1x1 at full res, 3x3/2 via phase planes, conv1x1 + projection
 # shortcut at half res — x read once (as four int8 phase planes), y written

@@ -414,6 +414,7 @@ def fused_forward_int8_chain(
     """
     from resnetc_tpu.ops.pallas.block import (
         bottleneck_block_chained_int8,
+        bottleneck_run_chained_int8,
         downsample_block_s2_int8,
         pad_for_chain,
         unpad_from_chain,
@@ -444,41 +445,76 @@ def fused_forward_int8_chain(
     bsz, h, w_sp, _ = yq.shape
     yr = pad_for_chain(yq)
 
+    def scale_row(stage, b):
+        st = site(stage, b)
+        s_y = s_after(stage, b)
+        return jnp.stack(
+            [st["in"], st["z1"], st["z2"],
+             s_y if s_y is not None else jnp.float32(1.0)]
+        ).astype(jnp.float32)
+
     for stage in range(4):
         blocks = qtree[f"layer{stage + 1}"]
-        for b in range(cfg.stage_blocks[stage]):
-            blk = blocks[str(b)]
-            st = site(stage, b)
-            s_y = s_after(stage, b)
-            last = s_y is None
-            scale_vec = jnp.stack(
-                [st["in"], st["z1"], st["z2"],
-                 s_y if s_y is not None else jnp.float32(1.0)]
-            ).astype(jnp.float32)
-            if b == 0 and stage > 0:
-                # Stage transition: the stride-2 phase-plane megakernel reads
-                # the previous chain's int8 rows directly (free reshape + one
-                # transpose) and emits this stage's chain layout.
-                yr = downsample_block_s2_int8(
-                    yr,
-                    blk["w1q"], blk["sw1"], blk["b1"],
-                    blk["w2q"], blk["sw2"], blk["b2"],
-                    blk["w3q"], blk["sw3"], blk["b3"],
-                    blk["wdq"], blk["swd"], blk["bd"],
-                    scale_vec,
-                    h=h, w_sp=w_sp, emit_i8=not last,
-                    interpret=interpret,
-                )
-                h, w_sp = (h + 1) // 2, (w_sp + 1) // 2
-            else:
+        nb = cfg.stage_blocks[stage]
+
+        # Block 0: stride-1 projection (stage 0) or stride-2 ds megakernel.
+        blk = blocks["0"]
+        last0 = s_after(stage, 0) is None
+        if stage > 0:
+            yr = downsample_block_s2_int8(
+                yr,
+                blk["w1q"], blk["sw1"], blk["b1"],
+                blk["w2q"], blk["sw2"], blk["b2"],
+                blk["w3q"], blk["sw3"], blk["b3"],
+                blk["wdq"], blk["swd"], blk["bd"],
+                scale_row(stage, 0),
+                h=h, w_sp=w_sp, emit_i8=not last0,
+                interpret=interpret,
+            )
+            h, w_sp = (h + 1) // 2, (w_sp + 1) // 2
+        else:
+            yr = bottleneck_block_chained_int8(
+                yr,
+                blk["w1q"], blk["sw1"], blk["b1"],
+                blk["w2pq"], blk["sw2p"], blk["b2"],
+                blk["w3q"], blk["sw3"], blk["b3"],
+                scale_row(stage, 0),
+                h=h, w_sp=w_sp, emit_i8=not last0, interpret=interpret,
+                wdq=blk.get("wdq"), swd=blk.get("swd"), bd=blk.get("bd"),
+            )
+
+        # Blocks 1..nb-1.  bottleneck_run_chained_int8 can fuse a whole
+        # identity run into one kernel (activations ping-pong in VMEM), but
+        # measured e2e it LOSES to per-block kernels everywhere: 18.12 ms
+        # all-fused / 17.66 stages-1-2-only / 17.49 per-block — Mosaic's
+        # auto-pipeline already overlaps the per-block HBM round trips, and
+        # the fused runs pay for it with bt=1 (M-starved dots at stages
+        # 3-4).  Per-block stays the production path; flip RUN_FUSE_STAGES
+        # to re-test as kernels evolve.
+        RUN_FUSE_STAGES: tuple = ()
+        if nb > 1 and stage in RUN_FUSE_STAGES:
+            run = [blocks[str(i)] for i in range(1, nb)]
+            stk = lambda key: jnp.stack([r[key] for r in run])
+            last = s_after(stage, nb - 1) is None
+            yr = bottleneck_run_chained_int8(
+                yr,
+                stk("w1q"), stk("sw1"), stk("b1"),
+                stk("w2pq"), stk("sw2p"), stk("b2"),
+                stk("w3q"), stk("sw3"), stk("b3"),
+                jnp.stack([scale_row(stage, i) for i in range(1, nb)]),
+                h=h, w_sp=w_sp, emit_i8=not last, interpret=interpret,
+            )
+        elif nb > 1:
+            for i in range(1, nb):
+                blk = blocks[str(i)]
+                last_i = s_after(stage, i) is None
                 yr = bottleneck_block_chained_int8(
                     yr,
                     blk["w1q"], blk["sw1"], blk["b1"],
                     blk["w2pq"], blk["sw2p"], blk["b2"],
                     blk["w3q"], blk["sw3"], blk["b3"],
-                    scale_vec,
-                    h=h, w_sp=w_sp, emit_i8=not last, interpret=interpret,
-                    wdq=blk.get("wdq"), swd=blk.get("swd"), bd=blk.get("bd"),
+                    scale_row(stage, i),
+                    h=h, w_sp=w_sp, emit_i8=not last_i, interpret=interpret,
                 )
 
     y = unpad_from_chain(yr, bsz, h, w_sp)

@@ -548,3 +548,66 @@ def test_chained_int8_projection_shortcut(rng):
         np.asarray(ref.astype(jnp.bfloat16), np.float32),
         rtol=2e-2, atol=2e-2,
     )
+
+
+def test_run_chained_int8_matches_sequential_blocks(rng):
+    """The stage-run megakernel (N blocks, one kernel, VMEM ping-pong) ==
+    the same N blocks through bottleneck_block_chained_int8 sequentially."""
+    from resnetc_tpu.ops.pallas.block import (
+        bottleneck_block_chained_int8,
+        bottleneck_run_chained_int8,
+        pad_for_chain,
+        quantize_chain_block,
+    )
+    from resnetc_tpu.ops.pallas.quant import quantize_with_scale
+
+    b, h, c = 2, 8, 16
+    c4 = 4 * c
+    x = jnp.asarray(rng.standard_normal((b, h, h, c4), dtype=np.float32))
+    qs = []
+    for _ in range(2):
+        blk = {
+            "conv1": {
+                "weight": jnp.asarray(rng.standard_normal((c4, c), dtype=np.float32) * 0.1),
+                "bias": jnp.asarray(rng.standard_normal((c,), dtype=np.float32) * 0.1),
+            },
+            "conv2": {
+                "weight": jnp.asarray(rng.standard_normal((3, 3, c, c), dtype=np.float32) * 0.1),
+                "bias": jnp.asarray(rng.standard_normal((c,), dtype=np.float32) * 0.1),
+            },
+            "conv3": {
+                "weight": jnp.asarray(rng.standard_normal((c, c4), dtype=np.float32) * 0.1),
+                "bias": jnp.asarray(rng.standard_normal((c4,), dtype=np.float32) * 0.1),
+            },
+        }
+        qs.append(quantize_chain_block(blk))
+
+    s = [4.0 / 127, 3.0 / 127, 5.0 / 127, 4.5 / 127]
+    scales0 = jnp.asarray([s[0], s[1], s[2], s[3]], jnp.float32)
+    scales1 = jnp.asarray([s[3], s[1], s[2], 1.0], jnp.float32)
+    xr = pad_for_chain(quantize_with_scale(x, jnp.float32(s[0])))
+
+    def one(q, xq, sc, emit):
+        return bottleneck_block_chained_int8(
+            xq,
+            q["w1q"], q["sw1"], q["b1"],
+            q["w2pq"], q["sw2p"], q["b2"],
+            q["w3q"], q["sw3"], q["b3"],
+            sc, h=h, w_sp=h, emit_i8=emit, interpret=True,
+        )
+
+    ref = one(qs[1], one(qs[0], xr, scales0, True), scales1, False)
+
+    stk = lambda key: jnp.stack([q[key] for q in qs])
+    got = bottleneck_run_chained_int8(
+        xr,
+        stk("w1q"), stk("sw1"), stk("b1"),
+        stk("w2pq"), stk("sw2p"), stk("b2"),
+        stk("w3q"), stk("sw3"), stk("b3"),
+        jnp.stack([scales0, scales1]),
+        h=h, w_sp=h, emit_i8=False, interpret=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(ref, np.float32),
+        rtol=2e-2, atol=2e-2,
+    )
