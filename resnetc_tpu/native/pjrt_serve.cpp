@@ -9,11 +9,18 @@
 //
 // Usage:
 //   resnetc_pjrt_serve PLUGIN.so MODEL.mlir COMPILE_OPTS.pb INPUT.f32 \
-//       [N H W C] [--loop K]
+//       [N H W C] [--loop K] [--copt key=value]...
 //
 //   MODEL.mlir        StableHLO text/bytecode from tools/export_stablehlo.py
 //   COMPILE_OPTS.pb   serialized xla.CompileOptionsProto (same exporter)
 //   INPUT.f32         raw little-endian f32 NHWC tensor, N*H*W*C elements
+//   --copt key=value  client-create options (PJRT_NamedValue); integer
+//                     values become kInt64, everything else kString.
+//                     The axon tunnel plugin needs e.g.:
+//                       --copt remote_compile=1 --copt local_only=0
+//                       --copt priority=0 --copt topology=v5e:1x1x1
+//                       --copt n_slices=1 --copt rank=4294967295
+//                       --copt session_id=<uuid>
 //   The program must take ONE f32 NHWC input and return ONE f32 output
 //   (logits); argmax is computed host-side per image.
 //
@@ -97,13 +104,26 @@ int main(int argc, char** argv) {
   const char* plugin_path = argv[1];
   int64_t dims[4] = {1, 224, 224, 3};
   int loop = 1;
+  std::vector<std::pair<std::string, std::string>> client_opts;
   int pos = 5;
   if (argc >= pos + 4 && argv[pos][0] != '-') {
     for (int i = 0; i < 4; ++i) dims[i] = std::atoll(argv[pos + i]);
     pos += 4;
   }
-  if (argc >= pos + 2 && std::strcmp(argv[pos], "--loop") == 0)
-    loop = std::atoi(argv[pos + 1]);
+  while (pos + 1 < argc) {
+    if (std::strcmp(argv[pos], "--loop") == 0) {
+      loop = std::atoi(argv[pos + 1]);
+      pos += 2;
+    } else if (std::strcmp(argv[pos], "--copt") == 0) {
+      std::string kv = argv[pos + 1];
+      size_t eq = kv.find('=');
+      if (eq == std::string::npos) Die("--copt needs key=value");
+      client_opts.emplace_back(kv.substr(0, eq), kv.substr(eq + 1));
+      pos += 2;
+    } else {
+      Die(std::string("unknown arg: ") + argv[pos]);
+    }
+  }
 
   // --- plugin
   void* handle = dlopen(plugin_path, RTLD_NOW | RTLD_LOCAL);
@@ -124,10 +144,32 @@ int main(int argc, char** argv) {
     Check(g_api->PJRT_Plugin_Initialize(&iargs), "Plugin_Initialize");
   }
 
-  // --- client
+  // --- client (with optional create options)
+  std::vector<PJRT_NamedValue> nvs(client_opts.size());
+  for (size_t i = 0; i < client_opts.size(); ++i) {
+    auto& nv = nvs[i];
+    std::memset(&nv, 0, sizeof(nv));
+    nv.struct_size = PJRT_NamedValue_STRUCT_SIZE;
+    nv.name = client_opts[i].first.c_str();
+    nv.name_size = client_opts[i].first.size();
+    const std::string& v = client_opts[i].second;
+    bool is_int = !v.empty() && v.find_first_not_of("0123456789") ==
+                                    std::string::npos;
+    if (is_int) {
+      nv.type = PJRT_NamedValue_kInt64;
+      nv.int64_value = std::atoll(v.c_str());
+      nv.value_size = 1;
+    } else {
+      nv.type = PJRT_NamedValue_kString;
+      nv.string_value = v.c_str();
+      nv.value_size = v.size();
+    }
+  }
   PJRT_Client_Create_Args cargs;
   std::memset(&cargs, 0, sizeof(cargs));
   cargs.struct_size = PJRT_Client_Create_Args_STRUCT_SIZE;
+  cargs.create_options = nvs.data();
+  cargs.num_options = nvs.size();
   Check(g_api->PJRT_Client_Create(&cargs), "Client_Create");
   PJRT_Client* client = cargs.client;
 
