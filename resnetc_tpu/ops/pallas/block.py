@@ -370,11 +370,15 @@ def _chained_kernel_int8(
     z1 = z1 * mask_ref[:]
     z1 = jnp.clip(jnp.round(z1), -127.0, 127.0).astype(jnp.int8)
 
-    # kw slots are padded to `slot` lanes (slot = c rounded up to 128): at
-    # c=64 the raw kw*c offsets are 64-lane-misaligned int8 stores — a lane
-    # rotate per store that measured ~3x on the whole L1 kernel.  The
-    # padded weight rows are ZERO at the slot tails, so slot-lane garbage
-    # contributes nothing and needs no zeroing.
+    # kw interleave at offsets wp+1-kw (kw=1 lands aligned on wp; the ±1
+    # offsets pay one sublane rotate each — a VMEM->VMEM DMA alternative is
+    # rejected by Mosaic: "tile index in dimension 0 is divisible by the
+    # tiling (8)" — misaligned-row DMA slices only work on untiled dims).
+    # Slots pad to `slot` lanes (c=64: raw kw*c offsets were lane-rotated
+    # stores); padded weight rows are ZERO at slot tails so slot-lane
+    # garbage contributes nothing.  The head/tail zero-fills ARE load-
+    # bearing even in int8 (removing them broke interior parity in
+    # interpret mode); keep them.
     z1_ref[0 : wp + 8, :] = jnp.zeros((wp + 8, 3 * slot), z1_ref.dtype)
     z1_ref[rows + wp - 8 : rows + 2 * wp, :] = jnp.zeros(
         (wp + 8, 3 * slot), z1_ref.dtype
@@ -934,7 +938,9 @@ def _ds_block_s2_kernel(
             if pw == 0:
                 z1w_ref[ph, :, 0:c] = zq
                 # +1-row shifted copy for the v=2 taps; the last row is
-                # never read (max tap row = rows - 2).
+                # never read (max tap row = rows - 2).  (A VMEM->VMEM DMA
+                # can't do this: misaligned-row slices of tiled VMEM refs
+                # are rejected by Mosaic.)
                 z1w_ref[ph, 0 : rows - 1, 2 * c : 3 * c] = (
                     jax.lax.slice_in_dim(zq, 1, rows, axis=0)
                 )
