@@ -15,6 +15,11 @@ import dataclasses
 
 from resnetc_tpu.models.resnet import RESNET_CONFIGS
 
+# Serving backends, fastest-first (measured b256 resnet50, PERF.md):
+# int8_chain (megakernel pipeline, the headline) > xla (BN-folded bf16)
+# > int8 > pallas_block > pallas.
+BACKENDS = ("int8_chain", "xla", "int8", "pallas_block", "pallas")
+
 
 @dataclasses.dataclass(frozen=True)
 class RunConfig:
@@ -25,7 +30,7 @@ class RunConfig:
     batch_size: int = 256
     image_size: int = 224
     policy: str = "bf16"  # "bf16" | "fp32"
-    backend: str = "xla"  # "xla" | "pallas" | "int8"
+    backend: str = "xla"  # one of BACKENDS
     weights_dir: str | None = None  # reference raw-f32 weight directory
     data_dim: int = 1  # mesh data axis
     model_dim: int = 1  # mesh model axis (channel TP)
@@ -38,7 +43,7 @@ def add_run_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--batch-size", type=int, default=256)
     p.add_argument("--image-size", type=int, default=224)
     p.add_argument("--policy", default="bf16", choices=["bf16", "fp32"])
-    p.add_argument("--backend", default="xla", choices=["xla", "pallas", "int8"])
+    p.add_argument("--backend", default="xla", choices=list(BACKENDS))
     p.add_argument(
         "--weights-dir",
         default=None,

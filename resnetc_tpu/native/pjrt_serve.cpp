@@ -16,6 +16,7 @@
 //   INPUT.f32         raw little-endian f32 NHWC tensor, N*H*W*C elements
 //   --copt key=value  client-create options (PJRT_NamedValue); integer
 //                     values become kInt64, everything else kString.
+//                     Use key:=value to force kString for numeric values.
 //                     The axon tunnel plugin needs e.g.:
 //                       --copt remote_compile=1 --copt local_only=0
 //                       --copt priority=0 --copt topology=v5e:1x1x1
@@ -124,6 +125,8 @@ int main(int argc, char** argv) {
       Die(std::string("unknown arg: ") + argv[pos]);
     }
   }
+  if (pos != argc)
+    Die(std::string("trailing argument without a value: ") + argv[pos]);
 
   // --- plugin
   void* handle = dlopen(plugin_path, RTLD_NOW | RTLD_LOCAL);
@@ -150,11 +153,14 @@ int main(int argc, char** argv) {
     auto& nv = nvs[i];
     std::memset(&nv, 0, sizeof(nv));
     nv.struct_size = PJRT_NamedValue_STRUCT_SIZE;
+    const std::string& v = client_opts[i].second;
+    bool forced_string = !client_opts[i].first.empty() &&
+                         client_opts[i].first.back() == ':';
+    if (forced_string) client_opts[i].first.pop_back();  // key:=value syntax
     nv.name = client_opts[i].first.c_str();
     nv.name_size = client_opts[i].first.size();
-    const std::string& v = client_opts[i].second;
-    bool is_int = !v.empty() && v.find_first_not_of("0123456789") ==
-                                    std::string::npos;
+    bool is_int = !forced_string && !v.empty() &&
+                  v.find_first_not_of("0123456789") == std::string::npos;
     if (is_int) {
       nv.type = PJRT_NamedValue_kInt64;
       nv.int64_value = std::atoll(v.c_str());

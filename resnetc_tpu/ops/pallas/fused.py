@@ -397,8 +397,14 @@ def fused_forward_int8_chain(
     *,
     policy: DtypePolicy = BF16,
     interpret: bool = False,
+    stage_taps: list | None = None,
 ) -> jax.Array:
     """Serving forward with every bottleneck block as ONE int8 megakernel.
+
+    ``stage_taps``: pass a list to receive the dequantized fp32 NHWC
+    activation after each stage (layer1..layer4) — the int8-vs-fp error
+    decomposition hook used by tests/verify (reference parallel: the
+    check_out per-stage dump loop, pytorch_inference.py:8-11).
 
     Quantization happens BEFORE the maxpool: max commutes with the monotone
     round/clip quantizer, so pooling the int8 stem output (XLA reduce_window,
@@ -492,7 +498,18 @@ def fused_forward_int8_chain(
         # 3-4).  Per-block stays the production path; flip RUN_FUSE_STAGES
         # to re-test as kernels evolve.
         RUN_FUSE_STAGES: tuple = ()
+        use_run = False
         if nb > 1 and stage in RUN_FUSE_STAGES:
+            from resnetc_tpu.ops.pallas.block import _pick_bt_run_int8, chain_meta
+
+            hp, wp = chain_meta(0, h, w_sp)
+            c4, c = blocks["1"]["w1q"].shape
+            # VMEM-fit guard: degrade to per-block kernels rather than
+            # tripping the run kernel's fit assert on tight shapes.
+            use_run = _pick_bt_run_int8(
+                yr.shape[0] // (hp * wp), hp, wp, c, c4, nb - 1
+            ) > 0
+        if use_run:
             run = [blocks[str(i)] for i in range(1, nb)]
             stk = lambda key: jnp.stack([r[key] for r in run])
             last = s_after(stage, nb - 1) is None
@@ -516,6 +533,11 @@ def fused_forward_int8_chain(
                     scale_row(stage, i),
                     h=h, w_sp=w_sp, emit_i8=not last_i, interpret=interpret,
                 )
+
+        if stage_taps is not None:
+            s_out = s_after(stage, nb - 1)
+            tap = unpad_from_chain(yr, bsz, h, w_sp).astype(jnp.float32)
+            stage_taps.append(tap * s_out if s_out is not None else tap)
 
     y = unpad_from_chain(yr, bsz, h, w_sp)
     feats = jnp.mean(y.astype(jnp.float32), axis=(1, 2)).astype(policy.compute)

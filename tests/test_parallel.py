@@ -6,6 +6,8 @@ contract — that a data-parallel train step over 8 devices produces the same
 numbers as the single-device step on the same global batch.
 """
 
+from pathlib import Path
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -149,6 +151,35 @@ def test_host_local_to_global_assembles_sharded_batch():
     assert garr.sharding.spec == P("data")
     assert garr.addressable_shards[0].data.shape == (2, 4)
     np.testing.assert_array_equal(np.asarray(garr), local)
+
+
+def test_distributed_initialize_single_process(tmp_path):
+    """`distributed.initialize` with explicit single-process args brings up
+    the multi-process runtime (coordinator included) in a fresh interpreter:
+    process_count/index report correctly and the mesh code runs unchanged.
+    Subprocess-isolated because jax.distributed is once-per-process."""
+    import subprocess
+    import sys
+
+    code = """
+import jax
+jax.config.update("jax_platforms", "cpu")
+from resnetc_tpu.parallel.distributed import initialize, is_multiprocess
+initialize(coordinator_address="localhost:12357", num_processes=1, process_id=0)
+assert jax.process_count() == 1 and jax.process_index() == 0
+assert not is_multiprocess()
+from resnetc_tpu.parallel import create_mesh
+mesh = create_mesh()
+assert mesh.devices.size == len(jax.devices())
+print("distributed-init-ok")
+"""
+    proc = subprocess.run(
+        [sys.executable, "-c", code],
+        capture_output=True, text=True, timeout=120,
+        cwd=str(Path(__file__).resolve().parent.parent),
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "distributed-init-ok" in proc.stdout
 
 
 def test_sync_bn_axis_name_matches_global_batch_oracle():
