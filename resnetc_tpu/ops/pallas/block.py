@@ -368,23 +368,28 @@ def _chained_kernel_int8(
         0.0,
     )
     z1 = z1 * mask_ref[:]
-    z1 = jnp.clip(jnp.round(z1), -127.0, 127.0).astype(jnp.int8)
+    z1 = jnp.minimum(jnp.round(z1), 127.0).astype(jnp.int8)  # post-relu: no lower clip
 
-    # kw interleave at offsets wp+1-kw (kw=1 lands aligned on wp; the ±1
-    # offsets pay one sublane rotate each — a VMEM->VMEM DMA alternative is
-    # rejected by Mosaic: "tile index in dimension 0 is divisible by the
-    # tiling (8)" — misaligned-row DMA slices only work on untiled dims).
-    # Slots pad to `slot` lanes (c=64: raw kw*c offsets were lane-rotated
-    # stores); padded weight rows are ZERO at slot tails so slot-lane
-    # garbage contributes nothing.  The head/tail zero-fills ARE load-
-    # bearing even in int8 (removing them broke interior parity in
-    # interpret mode); keep them.
+    # The head/tail zero-fills ARE load-bearing even in int8 (removing them
+    # broke interior parity in interpret mode); keep them.
     z1_ref[0 : wp + 8, :] = jnp.zeros((wp + 8, 3 * slot), z1_ref.dtype)
     z1_ref[rows + wp - 8 : rows + 2 * wp, :] = jnp.zeros(
         (wp + 8, 3 * slot), z1_ref.dtype
     )
+    # kw interleave at offsets wp+1-kw (kw=1 lands aligned on wp; the ±1
+    # offsets pay one sublane rotate each — a VMEM->VMEM DMA alternative
+    # is rejected by Mosaic: "tile index in dimension 0 is divisible by
+    # the tiling (8)" — misaligned-row DMA slices only work on untiled
+    # dims).  Slots pad to `slot` lanes; padded weight rows are ZERO at
+    # slot tails so slot-lane garbage contributes nothing.  A PAIRED
+    # two-kw-per-tile layout (K 384 -> 256, all stores tile-aligned) was
+    # tried in round 3 and measured WORSE (L1b1 1.53 -> 1.79 ms, L1b0
+    # 1.63 -> 6.69 ms): the value-level int8 lane concats it needs are
+    # exactly the in-kernel lane-repacking relayout trap.
     for kw in range(3):
-        z1_ref[wp + 1 - kw : wp + 1 - kw + rows, kw * slot : kw * slot + c] = z1
+        z1_ref[
+            wp + 1 - kw : wp + 1 - kw + rows, kw * slot : kw * slot + c
+        ] = z1
 
     # --- conv2 (3x3 s1): one int8 MXU pass, kh batched into N.  The packed
     # weight's per-column scales are per (kh, j), so each kh slice is
@@ -405,7 +410,7 @@ def _chained_kernel_int8(
         * sw2p_ref[2:3, :].astype(jnp.float32)
     )
     z2 = jnp.maximum(acc2 + b2_ref[:].astype(jnp.float32), 0.0)
-    z2 = jnp.clip(jnp.round(z2), -127.0, 127.0).astype(jnp.int8)
+    z2 = jnp.minimum(jnp.round(z2), 127.0).astype(jnp.int8)  # post-relu: no lower clip
 
     # --- conv3 (1x1, c -> 4c) + residual (dequantized x) + ReLU, chunked.
     chunk = rows
@@ -437,9 +442,9 @@ def _chained_kernel_int8(
             )
         y = jnp.maximum(y, 0.0)
         if emit_i8:
-            o_ref[lo : lo + chunk, :] = jnp.clip(
-                jnp.round(y), -127.0, 127.0
-            ).astype(jnp.int8)
+            o_ref[lo : lo + chunk, :] = jnp.minimum(
+                jnp.round(y), 127.0
+            ).astype(jnp.int8)  # post-relu: no lower clip
         else:
             o_ref[lo : lo + chunk, :] = y.astype(o_ref.dtype)
 
@@ -647,7 +652,7 @@ def _run_chained_kernel_int8(
             0.0,
         )
         z1 = z1 * mask_ref[:]
-        z1 = jnp.clip(jnp.round(z1), -127.0, 127.0).astype(jnp.int8)
+        z1 = jnp.minimum(jnp.round(z1), 127.0).astype(jnp.int8)  # post-relu: no lower clip
 
         z1_ref[0 : wp + 8, :] = jnp.zeros((wp + 8, 3 * slot), z1_ref.dtype)
         z1_ref[rows + wp - 8 : rows + 2 * wp, :] = jnp.zeros(
@@ -672,7 +677,7 @@ def _run_chained_kernel_int8(
             * a2s_ref[3 * n + 2 : 3 * n + 3, :].astype(jnp.float32)
         )
         z2 = jnp.maximum(acc2 + c2s_ref[n : n + 1, :].astype(jnp.float32), 0.0)
-        z2 = jnp.clip(jnp.round(z2), -127.0, 127.0).astype(jnp.int8)
+        z2 = jnp.minimum(jnp.round(z2), 127.0).astype(jnp.int8)  # post-relu: no lower clip
 
         s_res = s_ref[n]
         chunk = rows
@@ -696,7 +701,7 @@ def _run_chained_kernel_int8(
             if last and not emit_i8:
                 o_ref[lo : lo + chunk, :] = y.astype(o_ref.dtype)
             else:
-                yq = jnp.clip(jnp.round(y), -127.0, 127.0).astype(jnp.int8)
+                yq = jnp.minimum(jnp.round(y), 127.0).astype(jnp.int8)
                 if last:
                     o_ref[lo : lo + chunk, :] = yq
                 else:
@@ -890,51 +895,67 @@ def _ds_block_s2_kernel(
     (u//2)*wq (wq is 8-aligned), against w2 packed (3, 3c, c).
     """
     rows = bt * hq * wq
-    k0 = pl.program_id(0) * bt
+    i = pl.program_id(0)
 
-    # --- plane gather: four strided DMAs, started together then awaited.
+    # --- plane gather: four strided DMAs per grid step, DOUBLE-BUFFERED
+    # across grid steps (the manual ANY-space gather is outside Mosaic's
+    # auto-pipeline, so without prefetch every step eats the full gather
+    # latency serially — the measured p0 "DMA floor").  Step i's planes
+    # land in buffer i%2 while step i+1's gather streams into (i+1)%2
+    # behind the compute.
     # The source view is (B, hq, 2, wq, 2*cin): ph is an untiled major dim
     # (sliceable), and the W-pair lives in the LANE dim where a cin-sized
     # slice at a cin multiple is tile-aligned — slicing a separate size-2
     # pw dim in the tiled minor zone is rejected by Mosaic ("slice along
     # dimension 4 must be aligned to tiling").
-    dmas = []
-    for ph in range(2):
-        for pw in range(2):
-            p = ph * 2 + pw
-            dma = pltpu.make_async_copy(
-                x6_ref.at[
-                    pl.ds(k0, bt), :, ph, :, pl.ds(pw * cin, cin)
-                ],
-                pl_ref.at[p],
-                dma_sems.at[p],
-            )
-            dma.start()
-            dmas.append(dma)
-    for dma in dmas:
-        dma.wait()
+    def plane_dma(step, buf, p):
+        ph, pw = p // 2, p % 2
+        return pltpu.make_async_copy(
+            x6_ref.at[
+                pl.ds(step * bt, bt), :, ph, :, pl.ds(pw * cin, cin)
+            ],
+            pl_ref.at[buf, p],
+            dma_sems.at[buf, p],
+        )
+
+    @pl.when(i == 0)
+    def _():
+        for p in range(4):
+            plane_dma(0, 0, p).start()
+
+    @pl.when(i + 1 < pl.num_programs(0))
+    def _():
+        for p in range(4):
+            plane_dma(i + 1, (i + 1) % 2, p).start()
+
+    cur = i % 2
+    for p in range(4):
+        plane_dma(i, cur, p).wait()
 
     def plane(p):
-        return pl_ref[p].reshape(rows, cin)
+        return pl_ref[cur, p].reshape(rows, cin)
 
-    # --- conv1 (1x1, cin -> c) on each phase plane, masked + requantized,
-    # stored into the interleaved scratch.  Flat over all bt images: conv1
-    # is per-pixel, image boundaries don't matter here.
+    # --- conv1 (1x1, cin -> c): ONE dot over all four phase planes stacked
+    # in M (the per-plane dot+epilogue pairs serialized MXU-idle epilogues
+    # between quarter-size dots), one fused epilogue, then per-plane slices
+    # into the interleaved scratch.  Flat over all bt images: conv1 is
+    # per-pixel, image boundaries don't matter here.
+    zall = jax.lax.dot_general(
+        pl_ref[cur].reshape(4 * rows, cin), w1_ref[:],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    zall = jnp.maximum(
+        zall.astype(jnp.float32) * sw1_ref[:].astype(jnp.float32)
+        + b1_ref[:].astype(jnp.float32),
+        0.0,
+    )
+    zall = zall * mask_ref[:].reshape(4 * rows, 1)
+    zall = jnp.minimum(jnp.round(zall), 127.0).astype(jnp.int8)  # post-relu: no lower clip
     for ph in range(2):
         for pw in range(2):
             p = ph * 2 + pw
-            zp = jax.lax.dot_general(
-                plane(p), w1_ref[:],
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.int32,
-            )
-            zp = jnp.maximum(
-                zp.astype(jnp.float32) * sw1_ref[:].astype(jnp.float32)
-                + b1_ref[:].astype(jnp.float32),
-                0.0,
-            )
-            zp = zp * mask_ref[p]
-            zq = jnp.clip(jnp.round(zp), -127.0, 127.0).astype(jnp.int8)
+            zq = jax.lax.slice(zall, (p * rows, 0), ((p + 1) * rows, c))
             if pw == 0:
                 z1w_ref[ph, :, 0:c] = zq
                 # +1-row shifted copy for the v=2 taps; the last row is
@@ -966,7 +987,7 @@ def _ds_block_s2_kernel(
         acc = contrib if acc is None else acc + contrib
     z2 = acc.astype(jnp.float32) * sw2_ref[:].astype(jnp.float32)
     z2 = jnp.maximum(z2 + b2_ref[:].astype(jnp.float32), 0.0)
-    z2 = jnp.clip(jnp.round(z2), -127.0, 127.0).astype(jnp.int8)
+    z2 = jnp.minimum(jnp.round(z2), 127.0).astype(jnp.int8)  # post-relu: no lower clip
 
     # --- conv3 (1x1, c -> 4c) + projection shortcut + ReLU, per image (the
     # store offset shifts by hp2*wp2 - hq*wq between images; plane geometry
@@ -1003,9 +1024,9 @@ def _ds_block_s2_kernel(
             )
             y = jnp.maximum(y, 0.0)
             if emit_i8:
-                o_ref[obase + lo : obase + lo + n, :] = jnp.clip(
-                    jnp.round(y), -127.0, 127.0
-                ).astype(jnp.int8)
+                o_ref[obase + lo : obase + lo + n, :] = jnp.minimum(
+                    jnp.round(y), 127.0
+                ).astype(jnp.int8)  # post-relu: no lower clip
             else:
                 o_ref[obase + lo : obase + lo + n, :] = y.astype(o_ref.dtype)
 
@@ -1020,7 +1041,7 @@ def _pick_bt_ds_s2(b: int, hq: int, wq: int, cin: int, c: int, c4: int) -> int:
             continue
         rows = bt * hq * wq
         work = (
-            4 * rows * cin * 1     # phase planes (int8)
+            8 * rows * cin * 1     # phase planes (int8, double-buffered)
             + 6 * rows * c * 1     # interleaved z1 scratch (2, rows, 3c)
             + rows * c * 4         # conv2 int32 accumulator
             + rows * c4 * 1        # output block
@@ -1146,9 +1167,10 @@ def downsample_block_s2_int8(
         out_specs=pl.BlockSpec((rows_out, c4), lambda i: (i, 0)),
         out_shape=jax.ShapeDtypeStruct((b * hp2 * wp2, c4), out_dtype),
         scratch_shapes=[
-            pltpu.VMEM((4, bt, hq, wq, cin), jnp.int8),  # DMA'd phase planes
+            # DMA'd phase planes, double-buffered across grid steps
+            pltpu.VMEM((2, 4, bt, hq, wq, cin), jnp.int8),
             pltpu.VMEM((2, rows, 3 * c), jnp.int8),  # interleaved z1 planes
-            pltpu.SemaphoreType.DMA((4,)),
+            pltpu.SemaphoreType.DMA((2, 4)),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),

@@ -267,11 +267,12 @@ def _quant_block_reference(x, q, scales):
     return jnp.maximum(y, 0.0)
 
 
-@pytest.mark.parametrize("h", [9, 7])
-def test_chained_int8_matches_quant_reference(rng, h):
+@pytest.mark.parametrize("h,c", [(9, 16), (7, 16), (9, 64)])
+def test_chained_int8_matches_quant_reference(rng, h, c):
     """Kernel (interpret) == the independently-written quantized math, to
     within one output LSB (reciprocal rounding can differ at .5 boundaries).
-    h=7 exercises the shared-pad-column layout."""
+    h=7 exercises the shared-pad-column layout; c=64 the production L1
+    shape's slot-padded kw lane packing."""
     from resnetc_tpu.ops.pallas.block import (
         bottleneck_block_chained_int8,
         pad_for_chain,
@@ -279,7 +280,7 @@ def test_chained_int8_matches_quant_reference(rng, h):
         unpad_from_chain,
     )
 
-    b, c = 2, 16
+    b = 2
     c4 = 4 * c
     x = jnp.asarray(rng.standard_normal((b, h, h, c4), dtype=np.float32))
     blk = {
