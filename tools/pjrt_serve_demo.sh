@@ -5,17 +5,29 @@
 # 2. build the shim (C++, once)
 # 3. serve (no Python in the process)
 #
-# Verified on the axon-tunneled v5e: ResNet-50 compiles in ~24 s and the
-# logits match the Python engine's bf16 output (argmax parity, |d|~0.03).
+# Verified on the axon-tunneled v5e for BOTH backends: ResNet-50 bf16/xla
+# compiles in ~24 s with logits matching the Python engine (argmax parity,
+# |d|~0.03), and BACKEND=int8_chain exports the flagship Mosaic megakernel
+# pipeline (tpu_custom_calls, ~31 MB bytecode) which compiles in ~10 s and
+# matches the Python int8_chain engine to 4 decimals (argmax 379, logit
+# 68.9513 on the smoke input).
 set -euo pipefail
 cd "$(dirname "$0")/.."
 
 OUT=${1:-/tmp/resnetc_export}
 PLUGIN=${PLUGIN:-/opt/axon/libaxon_pjrt.so}
+BACKEND=${BACKEND:-xla}
 
-# 1. offline export: StableHLO + serialized CompileOptionsProto
-JAX_PLATFORMS=cpu python tools/export_stablehlo.py \
-    --model resnet50 --batch 1 --out "$OUT"
+# 1. offline export: StableHLO + serialized CompileOptionsProto.
+# xla exports from a CPU host; int8_chain needs the TPU lowering target
+# (Mosaic custom calls), so it runs with the default (tpu) platform.
+if [ "$BACKEND" = int8_chain ]; then
+    python tools/export_stablehlo.py \
+        --model resnet50 --batch 1 --backend int8_chain --out "$OUT"
+else
+    JAX_PLATFORMS=cpu python tools/export_stablehlo.py \
+        --model resnet50 --batch 1 --out "$OUT"
+fi
 
 # demo input (replace with a real preprocessed image tensor)
 python - "$OUT" <<'EOF'
