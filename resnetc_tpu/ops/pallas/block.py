@@ -472,7 +472,59 @@ def _pick_bt_chain_int8(b: int, hp: int, wp: int, c: int, c4: int) -> int:
     return best
 
 
-@functools.partial(jax.jit, static_argnames=("h", "w_sp", "emit_i8", "bt", "interpret"))
+def _chained_kernel_int8_mdma(
+    x_hbm_ref, *refs,
+    bt, hp, wp, c, c4, slot, emit_i8, has_ds,
+):
+    """Manual-DMA twin of _chained_kernel_int8: x stays in HBM/ANY and the
+    kernel streams row blocks itself, DOUBLE-BUFFERED across grid steps —
+    step i computes from xbuf[i%2] while step i+1's rows stream into
+    xbuf[(i+1)%2] (same pattern as _ds_block_s2_kernel's plane gather).
+    Exists because the L1 phase probe showed the auto-pipelined kernel runs
+    DMA + compute SERIALLY (p0 copy floor 0.6 ms healthy + ~0.9 ms compute
+    ≈ the measured 1.53 ms; see ROADMAP round 3).
+
+    MEASURED NEUTRAL at L1b1 (2026-08-17, degraded-machine A/B, rankings
+    valid): manual bt=1 2.742 ms vs auto 2.722; bt=2 2.744 vs 2.743 — the
+    delivery mechanism is not what serializes the stream against compute.
+    Kept as the reference implementation of row-streamed manual DMA (the
+    entry-fold and future gather kernels build on it) and because the
+    bitmatch test pins the pattern."""
+    if has_ds:
+        (w1, b1_, w2p, b2_, w3, b3_, msk, s1, s2p, s3,
+         wd, sd, bd_, s, o, z1, xbuf, sems) = refs
+    else:
+        (w1, b1_, w2p, b2_, w3, b3_, msk, s1, s2p, s3,
+         s, o, z1, xbuf, sems) = refs
+        wd = sd = bd_ = None
+    rows = bt * hp * wp
+    i = pl.program_id(0)
+
+    def row_dma(step, buf):
+        return pltpu.make_async_copy(
+            x_hbm_ref.at[pl.ds(step * rows, rows), :],
+            xbuf.at[buf],
+            sems.at[buf],
+        )
+
+    @pl.when(i == 0)
+    def _():
+        row_dma(0, 0).start()
+
+    @pl.when(i + 1 < pl.num_programs(0))
+    def _():
+        row_dma(i + 1, (i + 1) % 2).start()
+
+    cur = i % 2
+    row_dma(i, cur).wait()
+    _chained_kernel_int8(
+        xbuf.at[cur], w1, b1_, w2p, b2_, w3, b3_, msk, s1, s2p, s3, s, o, z1,
+        bt=bt, hp=hp, wp=wp, c=c, c4=c4, slot=slot, emit_i8=emit_i8,
+        wd_ref=wd, swd_ref=sd, bd_ref=bd_,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("h", "w_sp", "emit_i8", "bt", "interpret", "manual_dma"))
 def bottleneck_block_chained_int8(
     xq: jax.Array,
     w1q: jax.Array, sw1: jax.Array, b1: jax.Array,
@@ -484,6 +536,7 @@ def bottleneck_block_chained_int8(
     emit_i8: bool = True,
     bt: int | None = None,
     interpret: bool = False,
+    manual_dma: bool = False,
     wdq: jax.Array | None = None,
     swd: jax.Array | None = None,
     bd: jax.Array | None = None,
@@ -585,17 +638,36 @@ def bottleneck_block_chained_int8(
             wd_ref=wd, swd_ref=sd, bd_ref=bd_,
         )
 
+    scratch = [
+        pltpu.VMEM((rows + 2 * wp, 3 * slot), jnp.int8),  # kw-interleaved z1
+    ]
+    if manual_dma:
+        in_specs[0] = pl.BlockSpec(memory_space=pl.ANY)
+        kernel = functools.partial(
+            _chained_kernel_int8_mdma,
+            bt=bt, hp=hp, wp=wp, c=c, c4=c4, slot=slot, emit_i8=emit_i8,
+            has_ds=has_ds,
+        )
+        scratch += [
+            pltpu.VMEM((2, rows, cin), jnp.int8),  # double-buffered x rows
+            pltpu.SemaphoreType.DMA((2,)),
+        ]
+
     return pl.pallas_call(
         kernel,
         grid=(b // bt,),
         in_specs=in_specs,
         out_specs=pl.BlockSpec((rows, c4), lambda i: (i, 0)),
         out_shape=jax.ShapeDtypeStruct((b * hp * wp, c4), out_dtype),
-        scratch_shapes=[
-            pltpu.VMEM((rows + 2 * wp, 3 * slot), jnp.int8),  # kw-interleaved z1
-        ],
+        scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel",),
+            # manual_dma's ping-pong requires sequential grid order
+            dimension_semantics=("arbitrary",) if manual_dma else ("parallel",),
+            # Mosaic's default scoped-VMEM limit is 16 MB, which caps bt at 1
+            # for the 56² shape (256 tiny grid steps whose per-step pipeline
+            # overhead serializes against the HBM stream — see ROADMAP r3).
+            # v5e VMEM is 128 MB; raising the cap lets bt grow.
+            vmem_limit_bytes=100 * 2**20,
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * b * hp * wp
@@ -1149,7 +1221,7 @@ def downsample_block_s2_int8(
         ),
         grid=(b // bt,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),  # x6: kernel DMAs planes
+            pl.BlockSpec(memory_space=pl.ANY),  # x6: kernel DMAs planes
             pl.BlockSpec((cin, c), lambda i: (0, 0)),
             pl.BlockSpec((1, c), lambda i: (0, 0)),
             pl.BlockSpec((3, 3 * c, c), lambda i: (0, 0, 0)),

@@ -323,6 +323,50 @@ def test_chained_int8_matches_quant_reference(rng, h, c):
     )
 
 
+def test_chained_int8_manual_dma_bitmatch(rng):
+    """The manual-DMA (double-buffered row-stream) variant must be
+    bit-identical to the auto-pipelined kernel: same compute body, only the
+    x delivery differs.  bt=2 exercises the ping-pong across grid steps;
+    both identity and projection forms run."""
+    from resnetc_tpu.ops.pallas.block import (
+        bottleneck_block_chained_int8,
+        chain_meta,
+        quantize_chain_block,
+        quantize_ds_block,
+    )
+
+    h, cin, c = 8, 64, 16
+    hp, wp = chain_meta(0, h, h)
+    b = 4
+    g = lambda *s: jnp.asarray(rng.standard_normal(s, dtype=np.float32) * 0.1)
+    blk = {
+        "conv1": {"weight": g(cin, c), "bias": g(c)},
+        "conv2": {"weight": g(3, 3, c, c), "bias": g(c)},
+        "conv3": {"weight": g(c, 4 * c), "bias": g(4 * c)},
+    }
+    q = quantize_chain_block(blk)
+    scales = jnp.asarray([0.03, 0.02, 0.03, 0.02], jnp.float32)
+    xr = jnp.asarray(
+        rng.integers(-127, 128, (b * hp * wp, cin)), jnp.int8
+    )
+    args = (
+        xr, q["w1q"], q["sw1"], q["b1"], q["w2pq"], q["sw2p"], q["b2"],
+        q["w3q"], q["sw3"], q["b3"], scales,
+    )
+    kw = dict(h=h, w_sp=h, emit_i8=True, interpret=True, bt=2)
+    auto = bottleneck_block_chained_int8(*args, **kw)
+    manual = bottleneck_block_chained_int8(*args, **kw, manual_dma=True)
+    assert jnp.array_equal(auto, manual)
+
+    qd = quantize_ds_block(
+        dict(blk, downsample={"weight": g(cin, 4 * c), "bias": g(4 * c)})
+    )
+    kwp = dict(kw, wdq=qd["wdq"], swd=qd["swd"], bd=qd["bd"])
+    auto_p = bottleneck_block_chained_int8(*args, **kwp)
+    manual_p = bottleneck_block_chained_int8(*args, **kwp, manual_dma=True)
+    assert jnp.array_equal(auto_p, manual_p)
+
+
 def test_chained_int8_emit_i8_roundtrip(rng):
     """emit_i8=True output dequantized with s_y equals the bf16-emitting
     variant to within one LSB of s_y (the producer-epilogue contract)."""
