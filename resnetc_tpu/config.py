@@ -17,7 +17,11 @@ from resnetc_tpu.models.resnet import RESNET_CONFIGS
 
 # Serving backends, fastest-first (measured b256 resnet50, PERF.md):
 # int8_chain (megakernel pipeline, the headline) > xla (BN-folded bf16)
-# > int8 > pallas_block > pallas.
+# > int8 > pallas_block > pallas.  The two bf16 Pallas paths are DEPRECATED
+# for serving (kept as kernel-parity/debug references): their loss to XLA is
+# structural — bf16 gets neither the int8 HBM halving nor the 2x int8 MXU
+# rate, and XLA already fuses bf16 epilogues (measurements + disposition in
+# PERF.md).
 BACKENDS = ("int8_chain", "xla", "int8", "pallas_block", "pallas")
 
 

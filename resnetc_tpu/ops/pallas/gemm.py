@@ -47,8 +47,17 @@ def _gemm_kernel(x_ref, w_ref, b_ref, r_ref, o_ref, acc_ref, *, n_k, relu):
         o_ref[:] = out.astype(o_ref.dtype)
 
 
+#: Autotuned tile table, (M, K, N) -> (tm, tn, tk), produced by
+#: tools/autotune_gemm.py on the v5e (salted harness; see PERF.md).  Exact
+#: shape matches only — the heuristic below covers everything else.
+_BEST_TILES: dict[tuple[int, int, int], tuple[int, int, int]] = {}
+
+
 def _pick_tiles(m: int, n: int, k: int) -> tuple[int, int, int]:
-    """Tile sizes: MXU-aligned, VMEM-bounded, shrink for small problems."""
+    """Tile sizes: autotuned table hit, else MXU-aligned heuristic."""
+    hit = _BEST_TILES.get((m, k, n))
+    if hit is not None:
+        return hit
     tm = min(512, _round_up(m, 128))
     tn = min(256, _round_up(n, 128))
     tk = min(512, _round_up(k, 128))

@@ -50,6 +50,20 @@ class InferenceEngine:
         backends = ("xla", "pallas", "pallas_block", "int8", "int8_chain")
         if backend not in backends:
             raise ValueError(f"backend must be one of {backends}, got {backend!r}")
+        if backend in ("pallas", "pallas_block"):
+            import warnings
+
+            # Deprecated for serving, kept for kernel parity/debugging: the
+            # bf16 Pallas paths lose to XLA structurally (no int8 HBM halving,
+            # no 2x int8 MXU rate; XLA already fuses the bf16 epilogues).
+            # Measured b256 resnet50: pallas 3,688 / pallas_block 4,354 vs
+            # xla 11,369 img/s (BENCH_r02.json, PERF.md "GEMM disposition").
+            warnings.warn(
+                f"backend {backend!r} is a bf16 Pallas reference path, "
+                "~2.6-3x slower than 'xla' (see PERF.md); use 'int8_chain' "
+                "(fastest) or 'xla' (bf16) for serving.",
+                stacklevel=2,
+            )
         folded = resnet.fold_inference_params(model_cfg, variables)
         self._chain_scales = None
         if backend == "int8":
