@@ -785,7 +785,10 @@ def _pick_bt_run_int8(
 ) -> int:
     """Largest divisor of B whose stage-run working set fits VMEM (0 if
     even bt=1 does not fit — the caller falls back to per-block kernels)."""
-    budget = 12 * 2**20
+    # The run kernel raises Mosaic's scoped-VMEM cap to 100MB (v5e VMEM is
+    # 128MB); budget leaves headroom for the auto-pipeline's double-buffered
+    # grid in/out blocks (counted 2x below) and Mosaic temporaries.
+    budget = 56 * 2**20
     slot = _round_up(c, 128)
     weights = n_blocks * (c4 * c + 3 * slot * 3 * c + c * c4)
     best = 0
@@ -794,12 +797,12 @@ def _pick_bt_run_int8(
             continue
         rows = bt * hp * wp
         work = (
-            rows * c4 * 1                       # x block
+            2 * rows * c4 * 1                   # x block (double-buffered)
             + 2 * rows * c4 * 1                 # act ping-pong
             + (rows + 2 * wp) * 3 * slot * 1    # z1 interleave
             + (rows + 2 * wp) * 3 * c * 4       # P (int32)
             + rows * c * 4                      # acc2 fp32
-            + rows * c4 * 1                     # out block
+            + 2 * rows * c4 * 1                 # out block (double-buffered)
             + weights
         )
         if work > budget:
@@ -897,6 +900,10 @@ def bottleneck_run_chained_int8(
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel",),
+            # Same rationale as bottleneck_block_chained_int8: the 16MB
+            # default cap forced bt=1 (the round-2 "run fusion is slower"
+            # measurement was taken there); v5e has 128MB.
+            vmem_limit_bytes=100 * 2**20,
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * b * hp * wp * n_blocks * (c4 * c + 9 * c * c + c * c4),
