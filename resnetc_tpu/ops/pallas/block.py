@@ -449,24 +449,40 @@ def _chained_kernel_int8(
             o_ref[lo : lo + chunk, :] = y.astype(o_ref.dtype)
 
 
+#: Measured best bt per stage (keyed by c), b256 ResNet-50 chain shapes,
+#: swept on the v5e under the 100MB VMEM cap (salted harness, 2026-08-17):
+#: L1 c=64: bt=4 -6% vs the old 9MB-budget pick; L2 c=128: bt=8 -3%;
+#: L3 c=256: bt=8 0.38 vs 0.71 ms (+86%! — per-step pipeline overhead at
+#: small rows dominated); L4 c=512: bt=16 -8%.
+_MEASURED_BT_CHAIN = {64: 4, 128: 8, 256: 8, 512: 16}
+
+
 def _pick_bt_chain_int8(b: int, hp: int, wp: int, c: int, c4: int) -> int:
-    """Largest divisor of B whose int8 chained working set fits VMEM budget."""
-    budget = 9 * 2**20
+    """Measured-table bt when it applies, else largest divisor of B whose
+    int8 chained working set fits the VMEM budget."""
+    budget = 40 * 2**20  # of the 100MB cap: in/out auto-double-buffered
     slot = _round_up(c, 128)  # kw slots pad to full lane tiles (c=64 case)
     weights = c4 * c + 9 * c * c + c * c4  # int8: 1 byte each
+
+    def work(bt: int) -> int:
+        rows = bt * hp * wp
+        return (
+            2 * rows * c4 * 1                   # x block (double-buffered)
+            + (rows + 2 * wp) * 3 * slot * 1    # kw-interleaved z1 (int8)
+            + (rows + 2 * wp) * 3 * c * 4       # P (int32, stack)
+            + rows * c * 4                      # acc2 fp32
+            + 2 * rows * c4 * 1                 # out block (double-buffered)
+            + weights
+        )
+
+    hit = _MEASURED_BT_CHAIN.get(c)
+    if hit is not None and b % hit == 0 and work(hit) <= budget:
+        return hit
     best = 1
     for bt in range(1, b + 1):
         if b % bt:
             continue
-        rows = bt * hp * wp
-        work = (
-            rows * c4 * 1                       # x block (int8)
-            + (rows + 2 * wp) * 3 * slot * 1    # kw-interleaved z1 (int8)
-            + (rows + 2 * wp) * 3 * c * 4       # P (int32, stack)
-            + rows * c * 4                      # acc2 fp32
-            + weights
-        )
-        if work > budget:
+        if work(bt) > budget:
             break
         best = bt
     return best
