@@ -799,20 +799,19 @@ def _run_chained_kernel_int8(
 def _pick_bt_run_int8(
     b: int, hp: int, wp: int, c: int, c4: int, n_blocks: int
 ) -> int:
-    """Largest divisor of B whose stage-run working set fits VMEM (0 if
-    even bt=1 does not fit — the caller falls back to per-block kernels)."""
+    """Measured-table bt when it applies, else largest divisor of B whose
+    stage-run working set fits VMEM (0 if even bt=1 does not fit — the
+    caller falls back to per-block kernels)."""
     # The run kernel raises Mosaic's scoped-VMEM cap to 100MB (v5e VMEM is
     # 128MB); budget leaves headroom for the auto-pipeline's double-buffered
     # grid in/out blocks (counted 2x below) and Mosaic temporaries.
     budget = 56 * 2**20
     slot = _round_up(c, 128)
     weights = n_blocks * (c4 * c + 3 * slot * 3 * c + c * c4)
-    best = 0
-    for bt in range(1, b + 1):
-        if b % bt:
-            continue
+
+    def work(bt: int) -> int:
         rows = bt * hp * wp
-        work = (
+        return (
             2 * rows * c4 * 1                   # x block (double-buffered)
             + 2 * rows * c4 * 1                 # act ping-pong
             + (rows + 2 * wp) * 3 * slot * 1    # z1 interleave
@@ -821,7 +820,18 @@ def _pick_bt_run_int8(
             + 2 * rows * c4 * 1                 # out block (double-buffered)
             + weights
         )
-        if work > budget:
+
+    # Measured best bt (v5e, salted harness, 2026-08-17): the L1 c=64 run
+    # at bt=2 is 1.14x per-block; larger bt loses (bt=4: 0.76x — VMEM
+    # thrash).  Other stages don't run-fuse in production (RUN_FUSE_STAGES).
+    hit = {64: 2}.get(c)
+    if hit is not None and b % hit == 0 and work(hit) <= budget:
+        return hit
+    best = 0
+    for bt in range(1, b + 1):
+        if b % bt:
+            continue
+        if work(bt) > budget:
             break
         best = bt
     return best

@@ -29,6 +29,13 @@ from resnetc_tpu.tensor import BF16, DtypePolicy
 
 Pytree = dict
 
+#: Stages (0-based) whose identity-block runs fuse into ONE
+#: bottleneck_run_chained_int8 kernel in fused_forward_int8_chain.
+#: Measurement-driven (v5e sweep, PERF.md round 3): L1 run-fuses at 1.14x
+#: per-block (bt=2; the stage is DMA-heaviest so cutting the inter-block
+#: HBM round trip pays); L2/L3/L4 measured 0.70-0.94x — per-block stays.
+RUN_FUSE_STAGES: tuple = (0,)
+
 
 def _xla_conv(x, entry, *, k, stride, padding, relu, policy):
     """XLA fallback for shapes Pallas doesn't cover (stem, stride-2 3x3)."""
@@ -490,14 +497,11 @@ def fused_forward_int8_chain(
             )
 
         # Blocks 1..nb-1.  bottleneck_run_chained_int8 can fuse a whole
-        # identity run into one kernel (activations ping-pong in VMEM), but
-        # measured e2e it LOSES to per-block kernels everywhere: 18.12 ms
-        # all-fused / 17.66 stages-1-2-only / 17.49 per-block — Mosaic's
-        # auto-pipeline already overlaps the per-block HBM round trips, and
-        # the fused runs pay for it with bt=1 (M-starved dots at stages
-        # 3-4).  Per-block stays the production path; flip RUN_FUSE_STAGES
-        # to re-test as kernels evolve.
-        RUN_FUSE_STAGES: tuple = ()
+        # identity run into one kernel (activations ping-pong in VMEM).
+        # Round-2 measured it LOSING e2e (18.12 all-fused / 17.49
+        # per-block) — but under the old 16MB VMEM cap that forced bt=1
+        # (M-starved dots); the cap is 100MB now and RUN_FUSE_STAGES is
+        # module-level so the choice follows measurement (see PERF.md).
         use_run = False
         if nb > 1 and stage in RUN_FUSE_STAGES:
             from resnetc_tpu.ops.pallas.block import _pick_bt_run_int8, chain_meta
