@@ -1279,6 +1279,9 @@ def downsample_block_s2_int8(
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
+            # Same rationale as the chain kernels: the 16MB default scoped-
+            # VMEM cap forces small bt; v5e has 128MB.
+            vmem_limit_bytes=100 * 2**20,
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * b * hq * wq * (cin * c + 9 * c * c + c * c4 + cin * c4),
