@@ -336,8 +336,17 @@ def _chained_kernel_int8(
     o_ref, z1_ref,
     *, bt, hp, wp, c, c4, slot, emit_i8,
     wd_ref=None, swd_ref=None, bd_ref=None,
+    emit_mean=False, imask_ref=None,
 ):
     """Int8 twin of _chained_kernel, with HOST-FOLDED requant scales.
+
+    With ``emit_mean`` (the network-tail head fold): instead of storing the
+    (rows, c4) activation, the epilogue accumulates per-image interior means
+    into o_ref (bt, c4) f32 via imask_ref (bt, rows) — the block-diagonal
+    interior mask pre-divided by h*w — so the tail block's activation NEVER
+    crosses HBM (84 MB round trip saved at ResNet-50 b256) and the head
+    reduces to one fc matmul.  Replaces the reference's standalone
+    global-avg-pool pass (cuda/ops.cu avgPool + main.cu head).
 
     x_ref (rows, cin) int8 at scale s_x.  The wrapper folds every scalar
     requant factor into the per-channel vectors before the call: sw1 :=
@@ -441,7 +450,17 @@ def _chained_kernel_int8(
                 + bd_ref[:].astype(jnp.float32)
             )
         y = jnp.maximum(y, 0.0)
-        if emit_i8:
+        if emit_mean:
+            contrib = jax.lax.dot_general(
+                imask_ref[:, lo : lo + chunk], y,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            if lo == 0:
+                o_ref[:] = contrib
+            else:
+                o_ref[:] += contrib
+        elif emit_i8:
             o_ref[lo : lo + chunk, :] = jnp.minimum(
                 jnp.round(y), 127.0
             ).astype(jnp.int8)  # post-relu: no lower clip
@@ -540,7 +559,7 @@ def _chained_kernel_int8_mdma(
     )
 
 
-@functools.partial(jax.jit, static_argnames=("h", "w_sp", "emit_i8", "bt", "interpret", "manual_dma"))
+@functools.partial(jax.jit, static_argnames=("h", "w_sp", "emit_i8", "bt", "interpret", "manual_dma", "emit_mean"))
 def bottleneck_block_chained_int8(
     xq: jax.Array,
     w1q: jax.Array, sw1: jax.Array, b1: jax.Array,
@@ -553,6 +572,7 @@ def bottleneck_block_chained_int8(
     bt: int | None = None,
     interpret: bool = False,
     manual_dma: bool = False,
+    emit_mean: bool = False,
     wdq: jax.Array | None = None,
     swd: jax.Array | None = None,
     bd: jax.Array | None = None,
@@ -569,12 +589,19 @@ def bottleneck_block_chained_int8(
     residual is the PROJECTION shortcut conv instead of identity — the
     stride-1 downsample block (ResNet-50 layer1 block 0), still one kernel
     and one read of x.  cin == 4c is required for the identity form only.
+
+    With emit_mean (network tail only; requires emit_i8=False): returns
+    (B, 4c) f32 per-image global-average-pooled features instead of the
+    (B*Hp*Wp, 4c) activation — the head fold (see _chained_kernel_int8).
     """
     c = w1q.shape[-1]
     cin = w1q.shape[0]
     c4 = w3q.shape[-1]
     has_ds = wdq is not None
     assert has_ds or cin == c4, (cin, c4)
+    assert not (emit_mean and (emit_i8 or manual_dma)), (
+        "emit_mean is the bf16-exit head fold; emit_i8/manual_dma don't apply"
+    )
     hp, wp = chain_meta(0, h, w_sp)
     total_rows, cin_in = xq.shape
     b = total_rows // (hp * wp)
@@ -639,19 +666,35 @@ def bottleneck_block_chained_int8(
         operands += [wdq, ad, cd]
     in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
     operands.append(s_res)
+    if emit_mean:
+        # Block-diagonal interior mask, pre-divided by h*w: one f32 dot per
+        # conv3 chunk turns the stored activation into per-image means.
+        imask = jnp.kron(
+            jnp.eye(bt, dtype=jnp.float32),
+            (mask / (h * w_sp)).reshape(1, hp * wp),
+        )
+        in_specs.append(pl.BlockSpec((bt, rows), lambda i: (0, 0)))
+        operands.append(imask)
 
     def kernel(*refs):
+        x, w1, b1_, w2p, b2_, w3, b3_, msk, s1, s2p, s3 = refs[:11]
+        idx = 11
+        wd = sd = bd_ = None
         if has_ds:
-            (x, w1, b1_, w2p, b2_, w3, b3_, msk, s1, s2p, s3,
-             wd, sd, bd_, s, o, z1) = refs
-        else:
-            (x, w1, b1_, w2p, b2_, w3, b3_, msk, s1, s2p, s3,
-             s, o, z1) = refs
-            wd = sd = bd_ = None
+            wd, sd, bd_ = refs[idx : idx + 3]
+            idx += 3
+        s = refs[idx]
+        idx += 1
+        im = None
+        if emit_mean:
+            im = refs[idx]
+            idx += 1
+        o, z1 = refs[idx], refs[idx + 1]
         _chained_kernel_int8(
             x, w1, b1_, w2p, b2_, w3, b3_, msk, s1, s2p, s3, s, o, z1,
             bt=bt, hp=hp, wp=wp, c=c, c4=c4, slot=slot, emit_i8=emit_i8,
             wd_ref=wd, swd_ref=sd, bd_ref=bd_,
+            emit_mean=emit_mean, imask_ref=im,
         )
 
     scratch = [
@@ -669,12 +712,18 @@ def bottleneck_block_chained_int8(
             pltpu.SemaphoreType.DMA((2,)),
         ]
 
+    if emit_mean:
+        out_specs = pl.BlockSpec((bt, c4), lambda i: (i, 0))
+        out_shape = jax.ShapeDtypeStruct((b, c4), jnp.float32)
+    else:
+        out_specs = pl.BlockSpec((rows, c4), lambda i: (i, 0))
+        out_shape = jax.ShapeDtypeStruct((b * hp * wp, c4), out_dtype)
     return pl.pallas_call(
         kernel,
         grid=(b // bt,),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((rows, c4), lambda i: (i, 0)),
-        out_shape=jax.ShapeDtypeStruct((b * hp * wp, c4), out_dtype),
+        out_specs=out_specs,
+        out_shape=out_shape,
         scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
             # manual_dma's ping-pong requires sequential grid order

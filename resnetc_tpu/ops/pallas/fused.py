@@ -466,6 +466,7 @@ def fused_forward_int8_chain(
              s_y if s_y is not None else jnp.float32(1.0)]
         ).astype(jnp.float32)
 
+    head_folded = False
     for stage in range(4):
         blocks = qtree[f"layer{stage + 1}"]
         nb = cfg.stage_blocks[stage]
@@ -529,6 +530,10 @@ def fused_forward_int8_chain(
             for i in range(1, nb):
                 blk = blocks[str(i)]
                 last_i = s_after(stage, i) is None
+                # Head fold (tail block only, not when per-stage taps are
+                # requested): the kernel emits (B, 4c) pooled features
+                # directly — the 84MB tail activation never crosses HBM.
+                fold_head = last_i and stage_taps is None
                 yr = bottleneck_block_chained_int8(
                     yr,
                     blk["w1q"], blk["sw1"], blk["b1"],
@@ -536,15 +541,20 @@ def fused_forward_int8_chain(
                     blk["w3q"], blk["sw3"], blk["b3"],
                     scale_row(stage, i),
                     h=h, w_sp=w_sp, emit_i8=not last_i, interpret=interpret,
+                    emit_mean=fold_head,
                 )
+                head_folded = head_folded or fold_head
 
         if stage_taps is not None:
             s_out = s_after(stage, nb - 1)
             tap = unpad_from_chain(yr, bsz, h, w_sp).astype(jnp.float32)
             stage_taps.append(tap * s_out if s_out is not None else tap)
 
-    y = unpad_from_chain(yr, bsz, h, w_sp)
-    feats = jnp.mean(y.astype(jnp.float32), axis=(1, 2)).astype(policy.compute)
+    if head_folded:
+        feats = yr.astype(policy.compute)  # (B, 4c): already pooled in-kernel
+    else:
+        y = unpad_from_chain(yr, bsz, h, w_sp)
+        feats = jnp.mean(y.astype(jnp.float32), axis=(1, 2)).astype(policy.compute)
     logits = matmul(
         feats,
         jnp.transpose(qtree["fc"]["weight"]).astype(policy.compute),

@@ -323,6 +323,61 @@ def test_chained_int8_matches_quant_reference(rng, h, c):
     )
 
 
+def test_chained_int8_emit_mean_matches_rows_mean(rng):
+    """emit_mean (the head fold) must equal the global-average pool of the
+    bf16-exit rows: per-image mean over the h*w interior, f32.  bt=2
+    exercises the per-grid-step (bt, c4) accumulation; identity and
+    projection forms both run."""
+    from resnetc_tpu.ops.pallas.block import (
+        bottleneck_block_chained_int8,
+        chain_meta,
+        quantize_chain_block,
+        quantize_ds_block,
+        unpad_from_chain,
+    )
+
+    h, cin, c = 8, 64, 16
+    hp, wp = chain_meta(0, h, h)
+    b = 4
+    g = lambda *s: jnp.asarray(rng.standard_normal(s, dtype=np.float32) * 0.1)
+    blk = {
+        "conv1": {"weight": g(cin, c), "bias": g(c)},
+        "conv2": {"weight": g(3, 3, c, c), "bias": g(c)},
+        "conv3": {"weight": g(c, 4 * c), "bias": g(4 * c)},
+    }
+    q = quantize_chain_block(blk)
+    scales = jnp.asarray([0.03, 0.02, 0.03, 1.0], jnp.float32)
+    xr = jnp.asarray(rng.integers(-127, 128, (b * hp * wp, cin)), jnp.int8)
+    args = (
+        xr, q["w1q"], q["sw1"], q["b1"], q["w2pq"], q["sw2p"], q["b2"],
+        q["w3q"], q["sw3"], q["b3"], scales,
+    )
+    kw = dict(h=h, w_sp=h, emit_i8=False, interpret=True, bt=2)
+
+    rows = bottleneck_block_chained_int8(*args, **kw)
+    want = jnp.mean(
+        unpad_from_chain(rows, b, h, h).astype(jnp.float32), axis=(1, 2)
+    )
+    feats = bottleneck_block_chained_int8(*args, **kw, emit_mean=True)
+    assert feats.shape == (b, 4 * c) and feats.dtype == jnp.float32
+    np.testing.assert_allclose(
+        np.asarray(feats), np.asarray(want), rtol=2e-2, atol=2e-2
+    )
+
+    qd = quantize_ds_block(
+        dict(blk, downsample={"weight": g(cin, 4 * c), "bias": g(4 * c)})
+    )
+    kwp = dict(kw, wdq=qd["wdq"], swd=qd["swd"], bd=qd["bd"])
+    rows_p = bottleneck_block_chained_int8(*args, **kwp)
+    want_p = jnp.mean(
+        unpad_from_chain(rows_p, b, h, h).astype(jnp.float32), axis=(1, 2)
+    )
+    feats_p = bottleneck_block_chained_int8(*args, **kwp, emit_mean=True)
+    np.testing.assert_allclose(
+        np.asarray(feats_p), np.asarray(want_p), rtol=2e-2, atol=2e-2
+    )
+
+
 def test_chained_int8_manual_dma_bitmatch(rng):
     """The manual-DMA (double-buffered row-stream) variant must be
     bit-identical to the auto-pipelined kernel: same compute body, only the
