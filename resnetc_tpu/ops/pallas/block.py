@@ -1186,7 +1186,14 @@ def _ds_block_s2_kernel(
 
 
 def _pick_bt_ds_s2(b: int, hq: int, wq: int, cin: int, c: int, c4: int) -> int:
-    """Largest divisor of B whose s2 ds-block working set fits VMEM budget."""
+    """Measured-table bt when it applies, else largest divisor of B whose
+    s2 ds-block working set fits the VMEM budget."""
+    # v5e sweep (salted harness, 2026-08-17): the budget walk's picks were
+    # already optimal at L2ds (bt=2) and L3ds (bt=4); L4ds c=512 improved
+    # at bt=8 (0.960 vs 1.023 ms, -6%).
+    hit = {512: 8}.get(c)
+    if hit is not None and b % hit == 0:
+        return hit
     budget = 9 * 2**20
     weights = cin * c + 9 * c * c + c * c4 + cin * c4
     best = 1
