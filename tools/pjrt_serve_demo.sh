@@ -8,9 +8,9 @@
 # Verified on the axon-tunneled v5e for BOTH backends: ResNet-50 bf16/xla
 # compiles in ~24 s with logits matching the Python engine (argmax parity,
 # |d|~0.03), and BACKEND=int8_chain exports the flagship Mosaic megakernel
-# pipeline (tpu_custom_calls, ~31 MB bytecode) which compiles in ~10 s and
-# matches the Python int8_chain engine to 4 decimals (argmax 379, logit
-# 68.9513 on the smoke input).
+# pipeline (tpu_custom_calls, ~31 MB bytecode) which compiles in ~16 s and
+# matches the Python int8_chain engine EXACTLY (argmax 379, logit 68.9258
+# on the smoke input, round-3 head-folded program).
 set -euo pipefail
 cd "$(dirname "$0")/.."
 
