@@ -336,7 +336,7 @@ def _chained_kernel_int8(
     o_ref, z1_ref,
     *, bt, hp, wp, c, c4, slot, emit_i8,
     wd_ref=None, swd_ref=None, bd_ref=None,
-    emit_mean=False, imask_ref=None,
+    emit_mean=False, imask_ref=None, conv2_chunked=False,
 ):
     """Int8 twin of _chained_kernel, with HOST-FOLDED requant scales.
 
@@ -400,34 +400,64 @@ def _chained_kernel_int8(
             wp + 1 - kw : wp + 1 - kw + rows, kw * slot : kw * slot + c
         ] = z1
 
-    # --- conv2 (3x3 s1): one int8 MXU pass, kh batched into N.  The packed
-    # weight's per-column scales are per (kh, j), so each kh slice is
-    # dequantized with its own scale vector before the fp32 slice-add.
-    P = jax.lax.dot_general(
-        z1_ref[:], w2p_ref[:],
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.int32,
-    )
-    # sw2p_ref is (3, c): row kh holds that kh block's per-j scales (already
-    # folded with s_z1/s_z2), sliced on SUBLANES (clean layout).
-    acc2 = (
-        jax.lax.slice(P, (0, 0), (rows, c)).astype(jnp.float32)
-        * sw2p_ref[0:1, :].astype(jnp.float32)
-        + jax.lax.slice(P, (wp, c), (wp + rows, 2 * c)).astype(jnp.float32)
-        * sw2p_ref[1:2, :].astype(jnp.float32)
-        + jax.lax.slice(P, (2 * wp, 2 * c), (2 * wp + rows, 3 * c)).astype(jnp.float32)
-        * sw2p_ref[2:3, :].astype(jnp.float32)
-    )
-    z2 = jnp.maximum(acc2 + b2_ref[:].astype(jnp.float32), 0.0)
-    z2 = jnp.minimum(jnp.round(z2), 127.0).astype(jnp.int8)  # post-relu: no lower clip
+    # --- conv2 (3x3 s1) + conv3 + epilogue.
+    #
+    # Default: conv2 as one int8 MXU pass over the whole block, kh batched
+    # into N; the packed weight's per-column scales are per (kh, j), so each
+    # kh slice is dequantized with its own scale vector (sliced on SUBLANES,
+    # a clean layout).  The int32 P stack (rows+2wp, 3c) is the kernel's
+    # VMEM pig (~2.7MB per bt at L1).
+    #
+    # conv2_chunked: conv2 folds INTO the conv3 row-chunk loop — each chunk
+    # recomputes its own (chunk+2wp, 3c) P window (2wp redundant rows, ~2-4%
+    # extra dot flops) so the resident P shrinks ~(rows/chunk)x, which is
+    # what lets bt grow past the measured per-grid-step-overhead knee.
+    if conv2_chunked:
+        z2 = None  # computed per chunk below
+    else:
+        P = jax.lax.dot_general(
+            z1_ref[:], w2p_ref[:],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        acc2 = (
+            jax.lax.slice(P, (0, 0), (rows, c)).astype(jnp.float32)
+            * sw2p_ref[0:1, :].astype(jnp.float32)
+            + jax.lax.slice(P, (wp, c), (wp + rows, 2 * c)).astype(jnp.float32)
+            * sw2p_ref[1:2, :].astype(jnp.float32)
+            + jax.lax.slice(P, (2 * wp, 2 * c), (2 * wp + rows, 3 * c)).astype(jnp.float32)
+            * sw2p_ref[2:3, :].astype(jnp.float32)
+        )
+        z2 = jnp.maximum(acc2 + b2_ref[:].astype(jnp.float32), 0.0)
+        z2 = jnp.minimum(jnp.round(z2), 127.0).astype(jnp.int8)  # post-relu: no lower clip
 
     # --- conv3 (1x1, c -> 4c) + residual (dequantized x) + ReLU, chunked.
     chunk = rows
     while chunk > 1024 and chunk % 2 == 0:
         chunk //= 2
     for lo in range(0, rows, chunk):
+        if conv2_chunked:
+            Pc = jax.lax.dot_general(
+                z1_ref[lo : lo + chunk + 2 * wp, :], w2p_ref[:],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )
+            acc2 = (
+                jax.lax.slice(Pc, (0, 0), (chunk, c)).astype(jnp.float32)
+                * sw2p_ref[0:1, :].astype(jnp.float32)
+                + jax.lax.slice(Pc, (wp, c), (wp + chunk, 2 * c)).astype(jnp.float32)
+                * sw2p_ref[1:2, :].astype(jnp.float32)
+                + jax.lax.slice(Pc, (2 * wp, 2 * c), (2 * wp + chunk, 3 * c)).astype(
+                    jnp.float32
+                )
+                * sw2p_ref[2:3, :].astype(jnp.float32)
+            )
+            z2c = jnp.maximum(acc2 + b2_ref[:].astype(jnp.float32), 0.0)
+            z2c = jnp.minimum(jnp.round(z2c), 127.0).astype(jnp.int8)
+        else:
+            z2c = jax.lax.slice_in_dim(z2, lo, lo + chunk, axis=0)
         y = jax.lax.dot_general(
-            jax.lax.slice_in_dim(z2, lo, lo + chunk, axis=0),
+            z2c,
             w3_ref[:],
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.int32,
@@ -559,7 +589,7 @@ def _chained_kernel_int8_mdma(
     )
 
 
-@functools.partial(jax.jit, static_argnames=("h", "w_sp", "emit_i8", "bt", "interpret", "manual_dma", "emit_mean"))
+@functools.partial(jax.jit, static_argnames=("h", "w_sp", "emit_i8", "bt", "interpret", "manual_dma", "emit_mean", "conv2_chunked"))
 def bottleneck_block_chained_int8(
     xq: jax.Array,
     w1q: jax.Array, sw1: jax.Array, b1: jax.Array,
@@ -573,6 +603,7 @@ def bottleneck_block_chained_int8(
     interpret: bool = False,
     manual_dma: bool = False,
     emit_mean: bool = False,
+    conv2_chunked: bool = False,
     wdq: jax.Array | None = None,
     swd: jax.Array | None = None,
     bd: jax.Array | None = None,
@@ -601,6 +632,9 @@ def bottleneck_block_chained_int8(
     assert has_ds or cin == c4, (cin, c4)
     assert not (emit_mean and (emit_i8 or manual_dma)), (
         "emit_mean is the bf16-exit head fold; emit_i8/manual_dma don't apply"
+    )
+    assert not (manual_dma and conv2_chunked), (
+        "manual_dma fixes the compute body; use one variant at a time"
     )
     hp, wp = chain_meta(0, h, w_sp)
     total_rows, cin_in = xq.shape
@@ -694,7 +728,7 @@ def bottleneck_block_chained_int8(
             x, w1, b1_, w2p, b2_, w3, b3_, msk, s1, s2p, s3, s, o, z1,
             bt=bt, hp=hp, wp=wp, c=c, c4=c4, slot=slot, emit_i8=emit_i8,
             wd_ref=wd, swd_ref=sd, bd_ref=bd_,
-            emit_mean=emit_mean, imask_ref=im,
+            emit_mean=emit_mean, imask_ref=im, conv2_chunked=conv2_chunked,
         )
 
     scratch = [

@@ -323,6 +323,49 @@ def test_chained_int8_matches_quant_reference(rng, h, c):
     )
 
 
+def test_chained_int8_conv2_chunked_bitmatch(rng):
+    """conv2_chunked recomputes each chunk's P window instead of holding the
+    whole int32 stack; per-row arithmetic is identical, so outputs must be
+    bit-identical (identity and projection forms)."""
+    from resnetc_tpu.ops.pallas.block import (
+        bottleneck_block_chained_int8,
+        chain_meta,
+        quantize_chain_block,
+        quantize_ds_block,
+    )
+
+    # h=24 makes rows-per-step 1352 > the 1024 chunk cap, so the chunked
+    # path really splits (two chunks) instead of degenerating to one.
+    h, cin, c = 24, 64, 16
+    hp, wp = chain_meta(0, h, h)
+    b = 4
+    g = lambda *s: jnp.asarray(rng.standard_normal(s, dtype=np.float32) * 0.1)
+    blk = {
+        "conv1": {"weight": g(cin, c), "bias": g(c)},
+        "conv2": {"weight": g(3, 3, c, c), "bias": g(c)},
+        "conv3": {"weight": g(c, 4 * c), "bias": g(4 * c)},
+    }
+    q = quantize_chain_block(blk)
+    scales = jnp.asarray([0.03, 0.02, 0.03, 0.02], jnp.float32)
+    xr = jnp.asarray(rng.integers(-127, 128, (b * hp * wp, cin)), jnp.int8)
+    args = (
+        xr, q["w1q"], q["sw1"], q["b1"], q["w2pq"], q["sw2p"], q["b2"],
+        q["w3q"], q["sw3"], q["b3"], scales,
+    )
+    kw = dict(h=h, w_sp=h, emit_i8=True, interpret=True, bt=2)
+    base = bottleneck_block_chained_int8(*args, **kw)
+    chunked = bottleneck_block_chained_int8(*args, **kw, conv2_chunked=True)
+    assert jnp.array_equal(base, chunked)
+
+    qd = quantize_ds_block(
+        dict(blk, downsample={"weight": g(cin, 4 * c), "bias": g(4 * c)})
+    )
+    kwp = dict(kw, wdq=qd["wdq"], swd=qd["swd"], bd=qd["bd"])
+    base_p = bottleneck_block_chained_int8(*args, **kwp)
+    chunked_p = bottleneck_block_chained_int8(*args, **kwp, conv2_chunked=True)
+    assert jnp.array_equal(base_p, chunked_p)
+
+
 def test_chained_int8_emit_mean_matches_rows_mean(rng):
     """emit_mean (the head fold) must equal the global-average pool of the
     bf16-exit rows: per-image mean over the h*w interior, f32.  bt=2
