@@ -46,11 +46,15 @@ def bench(name, fn, carry, flops=None, iters=16):
 
 
 def salted(body, x):
+    """Feedback is a FULL |sum| over the output: a GEMM/conv grad whose
+    consumer is an (8,8) slice gets narrowed by XLA to 8 output rows (the
+    first run of this probe printed 26e6 TF/s for dgrad); the abs-reduction
+    keeps every output element live and cannot be reassociated away."""
+
     def fn(salt):
         xx = x + (salt[0, 0] * 1e-30).astype(x.dtype)
         out = body(xx)
-        flat = out.reshape(-1, out.shape[-1])
-        return jax.lax.slice(flat, (0, 0), (8, 8)).astype(jnp.float32)
+        return jnp.full((8, 8), jnp.sum(jnp.abs(out.astype(jnp.float32))))
 
     return fn
 
