@@ -544,6 +544,40 @@ def test_fused_forward_int8_chain_close_to_fp(rng):
     assert (got.argmax(-1) == ref.argmax(-1)).mean() >= 0.9
 
 
+def test_int8_chain_run_fuse_vmem_fallback(rng, monkeypatch):
+    """When the run kernel's bt picker reports a VMEM no-fit (returns 0),
+    fused_forward_int8_chain must degrade to per-block kernels — same
+    logits — instead of tripping the run kernel's fit assert."""
+    from resnetc_tpu.ops.pallas import block as block_mod
+    from resnetc_tpu.ops.pallas import fused as fused_mod
+    from resnetc_tpu.ops.pallas.fused import (
+        calibrate_chain_scales,
+        fused_forward_int8_chain,
+        quantize_chain,
+    )
+
+    cfg = resnet.get_config("resnet50", num_classes=11)
+    variables = resnet.init(cfg, jax.random.key(3))
+    folded = resnet.fold_inference_params(cfg, variables)
+    x = jnp.asarray(rng.standard_normal((2, 64, 64, 3), dtype=np.float32))
+    scales = calibrate_chain_scales(cfg, folded, x)
+    qtree = quantize_chain(cfg, folded)
+    want = np.asarray(
+        fused_forward_int8_chain(cfg, qtree, scales, x, interpret=True),
+        np.float32,
+    )
+
+    monkeypatch.setattr(fused_mod, "RUN_FUSE_STAGES", (0, 1, 2, 3))
+    monkeypatch.setattr(
+        block_mod, "_pick_bt_run_int8", lambda *a, **k: 0
+    )
+    got = np.asarray(
+        fused_forward_int8_chain(cfg, qtree, scales, x, interpret=True),
+        np.float32,
+    )
+    np.testing.assert_allclose(got, want, rtol=2e-2, atol=2e-2)
+
+
 def test_int8_chain_per_stage_error_decomposition(rng):
     """Int8 error must accumulate gradually: every stage boundary of the
     chain pipeline stays within a per-stage rel-MAE budget of the fp folded
