@@ -34,16 +34,20 @@ def _build_engine(run):
         variables = checkpoint.load_reference_format(cfg, run.weights_dir)
     else:
         variables = resnet.init(cfg, jax.random.key(run.seed))
-    sharding = None
+    sharding = mesh = None
     if run.data_dim * run.model_dim > 1:
         from resnetc_tpu.parallel import create_mesh, param_shardings
 
         mesh = create_mesh(run.data_dim, run.model_dim)
-        folded_like = resnet.fold_inference_params(cfg, variables)
-        sharding = param_shardings(mesh, folded_like)
+        if run.backend != "int8_chain":
+            # XLA backends shard the folded tree and let SPMD partition;
+            # int8_chain replicates weights and shard_maps the batch (the
+            # engine handles it via ``mesh``).
+            folded_like = resnet.fold_inference_params(cfg, variables)
+            sharding = param_shardings(mesh, folded_like)
     return cfg, InferenceEngine(
         cfg, variables, policy=policy(run.policy),
-        backend=run.backend, sharding=sharding,
+        backend=run.backend, sharding=sharding, mesh=mesh,
     )
 
 

@@ -565,6 +565,44 @@ def fused_forward_int8_chain(
     return logits
 
 
+def fused_forward_int8_chain_sharded(
+    cfg: ResNetConfig,
+    qtree: Pytree,
+    chain_scales: Pytree,
+    x: jax.Array,
+    mesh,
+    *,
+    axis: str = "data",
+    policy: DtypePolicy = BF16,
+    interpret: bool = False,
+) -> jax.Array:
+    """Data-parallel int8_chain serving over a device mesh.
+
+    Pallas custom calls are opaque to XLA's SPMD partitioner, so the DP
+    route is explicit ``shard_map``: the batch shards over ``axis``, the
+    quantized weights and calibration scales replicate, and every device
+    runs the full megakernel pipeline on its batch slice — zero collectives
+    (inference is embarrassingly data-parallel; logits come back sharded
+    the same way).  The multi-chip twin of the reference's single-GPU
+    serving loop (main.cu:228-254), scaled the shard_map way instead of a
+    comm library.  Requires batch % mesh.shape[axis] == 0.
+    """
+    from jax.sharding import PartitionSpec as P
+
+    def body(q, s, xx):
+        return fused_forward_int8_chain(
+            cfg, q, s, xx, policy=policy, interpret=interpret
+        )
+
+    return jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(P(), P(), P(axis)),
+        out_specs=P(axis),
+        check_vma=False,
+    )(qtree, chain_scales, x)
+
+
 def _conv_q_static(x, entry, scale_x, *, stride, relu, residual=None, policy, interpret):
     """int8 1x1 conv with a pre-calibrated activation scale (no absmax)."""
     from resnetc_tpu.ops.pallas.quant import int8_matmul, quantize_with_scale

@@ -44,9 +44,17 @@ class InferenceEngine:
         sharding: Any | None = None,
         backend: str = "xla",
         calib_batch: jax.Array | None = None,
+        mesh: Any | None = None,
     ):
+        """``mesh`` (with a 'data' axis) enables data-parallel serving for
+        the int8_chain backend: Pallas custom calls are opaque to the SPMD
+        partitioner, so DP routes through an explicit shard_map (weights
+        replicated, batch sharded; see fused_forward_int8_chain_sharded).
+        The XLA backends instead take ``sharding`` (a folded-tree sharding
+        pytree) and let the partitioner do the work."""
         self.model_cfg = model_cfg
         self.policy = policy
+        self._mesh = mesh
         backends = ("xla", "pallas", "pallas_block", "int8", "int8_chain")
         if backend not in backends:
             raise ValueError(f"backend must be one of {backends}, got {backend!r}")
@@ -99,12 +107,25 @@ class InferenceEngine:
         # Pre-cast weights to the compute dtype once, on device — serving
         # never pays the cast again.
         folded = jax.tree.map(lambda a: jnp.asarray(a), folded)
-        self.folded = jax.device_put(folded, sharding) if sharding is not None else folded
+        if backend == "int8_chain" and mesh is not None:
+            # DP over shard_map: the quantized tree replicates (its keys
+            # don't match a folded-tree sharding pytree anyway).
+            from resnetc_tpu.parallel import mesh as pmesh
+
+            self.folded = jax.device_put(folded, pmesh.replicated(mesh))
+        elif sharding is not None:
+            self.folded = jax.device_put(folded, sharding)
+        else:
+            self.folded = folded
         self._backend = backend
         self._compiled: dict[tuple[int, int, int], Callable] = {}
 
     def _fn(self):
         cfg, policy = self.model_cfg, self.policy
+        # The Mosaic kernels only lower for TPU; off-TPU the Pallas-backed
+        # backends run in interpret mode (slow, but correct — what the CPU
+        # test suite and the weights-gated acceptance path exercise).
+        interp = jax.default_backend() != "tpu"
         if self._backend == "xla":
             def run(folded, x):
                 return resnet.forward_folded(cfg, folded, x, policy=policy)
@@ -112,24 +133,36 @@ class InferenceEngine:
             from resnetc_tpu.ops.pallas import fused_forward
 
             def run(folded, x):
-                return fused_forward(cfg, folded, x, policy=policy)
+                return fused_forward(cfg, folded, x, policy=policy, interpret=interp)
         elif self._backend == "pallas_block":
             from resnetc_tpu.ops.pallas import fused_forward
 
             def run(folded, x):
-                return fused_forward(cfg, folded, x, policy=policy, block_fusion=True)
+                return fused_forward(
+                    cfg, folded, x, policy=policy, block_fusion=True, interpret=interp
+                )
         elif self._backend == "int8_chain":
-            from resnetc_tpu.ops.pallas.fused import fused_forward_int8_chain
+            from resnetc_tpu.ops.pallas.fused import (
+                fused_forward_int8_chain, fused_forward_int8_chain_sharded,
+            )
 
             scales = self._chain_scales
-
-            def run(folded, x):
-                return fused_forward_int8_chain(cfg, folded, scales, x, policy=policy)
+            mesh = self._mesh
+            if mesh is not None and dict(mesh.shape).get("data", 1) > 1:
+                def run(folded, x):
+                    return fused_forward_int8_chain_sharded(
+                        cfg, folded, scales, x, mesh, policy=policy, interpret=interp
+                    )
+            else:
+                def run(folded, x):
+                    return fused_forward_int8_chain(
+                        cfg, folded, scales, x, policy=policy, interpret=interp
+                    )
         else:  # int8
             from resnetc_tpu.ops.pallas.fused import fused_forward_int8
 
             def run(folded, x):
-                return fused_forward_int8(cfg, folded, x, policy=policy)
+                return fused_forward_int8(cfg, folded, x, policy=policy, interpret=interp)
         return run
 
     def compile(self, batch: int, height: int = 224, width: int = 224) -> Callable:

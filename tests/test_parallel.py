@@ -24,6 +24,68 @@ from resnetc_tpu.parallel import (
 )
 
 
+def test_dp_int8_chain_matches_single_device(rng):
+    """The flagship int8_chain backend served data-parallel over the mesh
+    (explicit shard_map — Pallas custom calls are opaque to the SPMD
+    partitioner) must produce the single-device logits exactly."""
+    from resnetc_tpu.ops.pallas.fused import (
+        calibrate_chain_scales,
+        fused_forward_int8_chain,
+        fused_forward_int8_chain_sharded,
+        quantize_chain,
+    )
+
+    cfg = resnet.get_config("resnet50", num_classes=11)
+    variables = resnet.init(cfg, jax.random.key(3))
+    folded = resnet.fold_inference_params(cfg, variables)
+    x = jnp.asarray(rng.standard_normal((8, 64, 64, 3), dtype=np.float32))
+    scales = calibrate_chain_scales(cfg, folded, x)
+    qtree = quantize_chain(cfg, folded)
+
+    want = np.asarray(
+        fused_forward_int8_chain(cfg, qtree, scales, x, interpret=True),
+        np.float32,
+    )
+    mesh = create_mesh(n_data=8)
+    got = np.asarray(
+        fused_forward_int8_chain_sharded(cfg, qtree, scales, x, mesh, interpret=True),
+        np.float32,
+    )
+    _assert_int8_serving_close(got, want)
+
+
+def _assert_int8_serving_close(got, want):
+    """DP and single-device int8 serving agree to int8 rounding noise: the
+    XLA stem conv accumulates differently at per-shard batch, a 1-ulp bf16
+    difference can flip one int8 round, and the flip cascades — exact
+    equality is the wrong contract for a quantized pipeline."""
+    rel_mae = np.mean(np.abs(got - want)) / np.mean(np.abs(want))
+    assert rel_mae < 0.02, rel_mae
+    agreement = float((got.argmax(-1) == want.argmax(-1)).mean())
+    assert agreement >= 0.85, agreement
+
+
+def test_dp_int8_chain_engine_roundtrip(rng):
+    """InferenceEngine(backend=int8_chain, mesh=...) serves data-parallel:
+    logits match the single-device engine built from the same variables and
+    calibration batch."""
+    from resnetc_tpu.serve import InferenceEngine
+
+    cfg = resnet.get_config("resnet50", num_classes=11)
+    variables = resnet.init(cfg, jax.random.key(3))
+    x = jnp.asarray(rng.standard_normal((8, 64, 64, 3), dtype=np.float32))
+
+    single = InferenceEngine(cfg, variables, backend="int8_chain", calib_batch=x)
+    mesh = create_mesh(n_data=8)
+    dp = InferenceEngine(
+        cfg, variables, backend="int8_chain", calib_batch=x, mesh=mesh
+    )
+    _assert_int8_serving_close(
+        np.asarray(dp.logits(x), np.float32),
+        np.asarray(single.logits(x), np.float32),
+    )
+
+
 def test_eight_virtual_devices_present():
     assert len(jax.devices()) == 8, (
         "tests must run under XLA_FLAGS=--xla_force_host_platform_device_count=8"
