@@ -794,8 +794,9 @@ def _run_chained_kernel_int8(
     a1s_ref, a2s_ref, a3s_ref, s_ref,
     o_ref, z1_ref, act_ref,
     *, n_blocks, bt, hp, wp, c, c4, slot, emit_i8,
+    w10_ref=None, wd_ref=None, ad_ref=None, cd_ref=None,
 ):
-    """N identity bottleneck blocks over one VMEM-resident activation.
+    """N bottleneck blocks over one VMEM-resident activation.
 
     Stacked per-block params: w1s (N*c4, c), w2ps (N*3*slot, 3c),
     w3s (N*c, c4) int8; a1s/c1s (N, c), a2s (N*3, c), c2s (N, c),
@@ -805,15 +806,31 @@ def _run_chained_kernel_int8(
     scales.  act_ref (2, rows, c4) int8 ping-pong: block n reads
     n == 0 ? x_ref : act[(n-1) % 2] and writes its int8 output to
     act[n % 2]; the last block writes o_ref instead.
+
+    With w10/wd/ad/cd, block 0 is the stride-1 PROJECTION block (ResNet-50
+    layer1 block 0): x_ref is (rows, cin) with cin possibly != c4, block
+    0's conv1 weight is w10_ref (cin, c) (w1s_ref then stacks blocks
+    1..N-1 only), and its residual is the 1x1 projection wd (cin, c4)
+    instead of x — the WHOLE stage becomes one kernel and the stage's
+    (rows, c4) activation never crosses HBM (at ResNet-50 L1 b256 that is
+    a 208MB round trip removed; the kernel's HBM bill drops to the
+    (rows, cin=64) pool output in + (rows, c4) out).
     """
     rows = bt * hp * wp
+    has_proj = w10_ref is not None
 
     for n in range(n_blocks):
         last = n == n_blocks - 1
         x_full = x_ref[:] if n == 0 else act_ref[(n - 1) % 2]
 
+        if has_proj and n == 0:
+            w1_n = w10_ref[:]
+        elif has_proj:
+            w1_n = w1s_ref[(n - 1) * c4 : n * c4, :]
+        else:
+            w1_n = w1s_ref[n * c4 : (n + 1) * c4, :]
         z1 = jax.lax.dot_general(
-            x_full, w1s_ref[n * c4 : (n + 1) * c4, :],
+            x_full, w1_n,
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.int32,
         )
@@ -863,11 +880,24 @@ def _run_chained_kernel_int8(
             )
             y = y.astype(jnp.float32) * a3s_ref[n : n + 1, :].astype(jnp.float32)
             y = y + c3s_ref[n : n + 1, :].astype(jnp.float32)
-            if n == 0:
-                res = x_ref[lo : lo + chunk, :]
+            if has_proj and n == 0:
+                # Projection shortcut: one more int8 dot in the epilogue,
+                # x still read once (same as _chained_kernel_int8's wd).
+                sc = jax.lax.dot_general(
+                    x_ref[lo : lo + chunk, :], wd_ref[:],
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32,
+                )
+                y = y + (
+                    sc.astype(jnp.float32) * ad_ref[:].astype(jnp.float32)
+                    + cd_ref[:].astype(jnp.float32)
+                )
             else:
-                res = act_ref[(n - 1) % 2, lo : lo + chunk, :]
-            y = y + res.astype(jnp.float32) * s_res
+                if n == 0:
+                    res = x_ref[lo : lo + chunk, :]
+                else:
+                    res = act_ref[(n - 1) % 2, lo : lo + chunk, :]
+                y = y + res.astype(jnp.float32) * s_res
             y = jnp.maximum(y, 0.0)
             if last and not emit_i8:
                 o_ref[lo : lo + chunk, :] = y.astype(o_ref.dtype)
@@ -880,22 +910,25 @@ def _run_chained_kernel_int8(
 
 
 def _pick_bt_run_int8(
-    b: int, hp: int, wp: int, c: int, c4: int, n_blocks: int
+    b: int, hp: int, wp: int, c: int, c4: int, n_blocks: int,
+    cin: int | None = None,
 ) -> int:
     """Measured-table bt when it applies, else largest divisor of B whose
     stage-run working set fits VMEM (0 if even bt=1 does not fit — the
-    caller falls back to per-block kernels)."""
+    caller falls back to per-block kernels).  ``cin`` is the x width when
+    block 0 is the projection block (whole-stage form); defaults to c4."""
     # The run kernel raises Mosaic's scoped-VMEM cap to 100MB (v5e VMEM is
     # 128MB); budget leaves headroom for the auto-pipeline's double-buffered
     # grid in/out blocks (counted 2x below) and Mosaic temporaries.
     budget = 56 * 2**20
+    cin = c4 if cin is None else cin
     slot = _round_up(c, 128)
     weights = n_blocks * (c4 * c + 3 * slot * 3 * c + c * c4)
 
     def work(bt: int) -> int:
         rows = bt * hp * wp
         return (
-            2 * rows * c4 * 1                   # x block (double-buffered)
+            2 * rows * cin * 1                  # x block (double-buffered)
             + 2 * rows * c4 * 1                 # act ping-pong
             + (rows + 2 * wp) * 3 * slot * 1    # z1 interleave
             + (rows + 2 * wp) * 3 * c * 4       # P (int32)
@@ -934,19 +967,40 @@ def bottleneck_run_chained_int8(
     emit_i8: bool = True,
     bt: int | None = None,
     interpret: bool = False,
+    w1q0: jax.Array | None = None,
+    wdq: jax.Array | None = None,
+    swd: jax.Array | None = None,
+    bd: jax.Array | None = None,
 ) -> jax.Array:
-    """A run of N identity bottleneck blocks as ONE kernel (see
+    """A run of N bottleneck blocks as ONE kernel (see
     _run_chained_kernel_int8).  Stacked inputs: w1q_s (N, c4, c), sw1_s
     (N, c), b1_s (N, c), w2pq_s (N, 3c, 3c), sw2p_s (N, 3c), b2_s (N, c),
     w3q_s (N, c, c4), sw3_s/b3_s (N, c4); scales_s (N, 4) rows
     [s_x, s_z1, s_z2, s_y] with row i's s_y equal to row i+1's s_x.
+
+    With w1q0/wdq/swd/bd, block 0 is the stride-1 PROJECTION block and xq
+    is (rows, cin) with cin = w1q0.shape[0] (== wdq.shape[0], possibly !=
+    c4): the WHOLE ResNet-50 layer1 stage runs as one kernel.  The stacked
+    arrays then describe blocks 0..N-1 uniformly EXCEPT w1q_s, which
+    stacks blocks 1..N-1 only (block 0's conv1 is w1q0, (cin, c));
+    scales_s row 0's s_x is the x scale.  w1q_s must still carry N-1 >= 1
+    rows (a lone projection block is bottleneck_block_chained_int8's job).
     """
-    n_blocks, c4, c = w1q_s.shape
+    has_proj = w1q0 is not None
+    if has_proj:
+        n_m1, c4, c = w1q_s.shape
+        n_blocks = n_m1 + 1
+        cin = w1q0.shape[0]
+        assert wdq is not None and wdq.shape == (cin, c4), (wdq,)
+        assert sw1_s.shape[0] == n_blocks, (sw1_s.shape, n_blocks)
+    else:
+        n_blocks, c4, c = w1q_s.shape
+        cin = c4
     hp, wp = chain_meta(0, h, w_sp)
     total_rows, cin_in = xq.shape
     b = total_rows // (hp * wp)
-    assert b * hp * wp == total_rows and cin_in == c4, (xq.shape,)
-    bt = bt or _pick_bt_run_int8(b, hp, wp, c, c4, n_blocks)
+    assert b * hp * wp == total_rows and cin_in == cin, (xq.shape,)
+    bt = bt or _pick_bt_run_int8(b, hp, wp, c, c4, n_blocks, cin=cin)
     assert bt > 0, "stage run does not fit VMEM; use per-block kernels"
 
     rows = bt * hp * wp
@@ -980,27 +1034,61 @@ def bottleneck_run_chained_int8(
     mask = ((r >= 1) & (r <= h) & (cc >= 1) & (cc <= w_sp)).astype(jnp.float32)
     mask_t = jnp.tile(mask, (bt, 1))
 
-    return pl.pallas_call(
-        functools.partial(
-            _run_chained_kernel_int8,
+    n_w1 = n_blocks - 1 if has_proj else n_blocks
+    in_specs = [
+        pl.BlockSpec((rows, cin), lambda i: (i, 0)),
+        pl.BlockSpec((n_w1 * c4, c), lambda i: (0, 0)),
+        pl.BlockSpec((n_blocks, c), lambda i: (0, 0)),
+        pl.BlockSpec((n_blocks * 3 * slot, 3 * c), lambda i: (0, 0)),
+        pl.BlockSpec((n_blocks, c), lambda i: (0, 0)),
+        pl.BlockSpec((n_blocks * c, c4), lambda i: (0, 0)),
+        pl.BlockSpec((n_blocks, c4), lambda i: (0, 0)),
+        pl.BlockSpec((rows, 1), lambda i: (0, 0)),
+        pl.BlockSpec((n_blocks, c), lambda i: (0, 0)),
+        pl.BlockSpec((n_blocks * 3, c), lambda i: (0, 0)),
+        pl.BlockSpec((n_blocks, c4), lambda i: (0, 0)),
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+    ]
+    operands = [
+        xq,
+        w1q_s.reshape(n_w1 * c4, c), c1, w2ps, c2,
+        w3q_s.reshape(n_blocks * c, c4), c3, mask_t,
+        a1, a2, a3,
+        s_res,
+    ]
+    if has_proj:
+        # Block-0 projection folding, same contract as the single kernel:
+        # swd := swd * s_x/s_y0, bd := bd / s_y0 (block 0 is never the run
+        # tail — n_blocks >= 2 — so its s_y is always scales_s[0, 3]).
+        ad = (swd.astype(jnp.float32) * (s_x[0] / scales_s[0, 3]))[None, :]
+        cd = (bd.astype(jnp.float32) * (1.0 / scales_s[0, 3]))[None, :]
+        in_specs += [
+            pl.BlockSpec((cin, c), lambda i: (0, 0)),
+            pl.BlockSpec((cin, c4), lambda i: (0, 0)),
+            pl.BlockSpec((1, c4), lambda i: (0, 0)),
+            pl.BlockSpec((1, c4), lambda i: (0, 0)),
+        ]
+        operands += [w1q0, wdq, ad, cd]
+
+    def kernel(*refs):
+        base = refs[:12]
+        outs = refs[12 + 4 * has_proj :]
+        extra = {}
+        if has_proj:
+            extra = dict(
+                w10_ref=refs[12], wd_ref=refs[13],
+                ad_ref=refs[14], cd_ref=refs[15],
+            )
+        _run_chained_kernel_int8(
+            *base, *outs,
             n_blocks=n_blocks, bt=bt, hp=hp, wp=wp, c=c, c4=c4, slot=slot,
-            emit_i8=emit_i8,
-        ),
+            emit_i8=emit_i8, **extra,
+        )
+
+    return pl.pallas_call(
+        kernel,
         grid=(b // bt,),
-        in_specs=[
-            pl.BlockSpec((rows, c4), lambda i: (i, 0)),
-            pl.BlockSpec((n_blocks * c4, c), lambda i: (0, 0)),
-            pl.BlockSpec((n_blocks, c), lambda i: (0, 0)),
-            pl.BlockSpec((n_blocks * 3 * slot, 3 * c), lambda i: (0, 0)),
-            pl.BlockSpec((n_blocks, c), lambda i: (0, 0)),
-            pl.BlockSpec((n_blocks * c, c4), lambda i: (0, 0)),
-            pl.BlockSpec((n_blocks, c4), lambda i: (0, 0)),
-            pl.BlockSpec((rows, 1), lambda i: (0, 0)),
-            pl.BlockSpec((n_blocks, c), lambda i: (0, 0)),
-            pl.BlockSpec((n_blocks * 3, c), lambda i: (0, 0)),
-            pl.BlockSpec((n_blocks, c4), lambda i: (0, 0)),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((rows, c4), lambda i: (i, 0)),
         out_shape=jax.ShapeDtypeStruct((b * hp * wp, c4), out_dtype),
         scratch_shapes=[
@@ -1016,17 +1104,11 @@ def bottleneck_run_chained_int8(
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * b * hp * wp * n_blocks * (c4 * c + 9 * c * c + c * c4),
-            bytes_accessed=2 * b * hp * wp * c4,
+            bytes_accessed=b * hp * wp * (cin + c4),
             transcendentals=0,
         ),
         interpret=interpret,
-    )(
-        xq,
-        w1q_s.reshape(n_blocks * c4, c), c1, w2ps, c2,
-        w3q_s.reshape(n_blocks * c, c4), c3, mask_t,
-        a1, a2, a3,
-        s_res,
-    )
+    )(*operands)
 
 
 # ---------------------------------------------------------------------------

@@ -36,6 +36,11 @@ Pytree = dict
 #: HBM round trip pays); L2/L3/L4 measured 0.70-0.94x — per-block stays.
 RUN_FUSE_STAGES: tuple = (0,)
 
+#: When stage 0 run-fuses, also pull the PROJECTION block 0 into the run —
+#: the whole layer1 stage as ONE kernel (x in at cin=64, out at c4=256;
+#: the 208MB intermediate at ResNet-50 b256 never crosses HBM).  A/B flag.
+STAGE_FUSE_PROJ: bool = True
+
 
 def _xla_conv(x, entry, *, k, stride, padding, relu, policy):
     """XLA fallback for shapes Pallas doesn't cover (stem, stride-2 3x3)."""
@@ -470,6 +475,52 @@ def fused_forward_int8_chain(
     for stage in range(4):
         blocks = qtree[f"layer{stage + 1}"]
         nb = cfg.stage_blocks[stage]
+
+        # Whole-stage fusion (stage 0 only): the projection block 0 joins
+        # the identity run — ALL of layer1 is ONE kernel, and the stage's
+        # (rows, 4c) activation never crosses HBM (its x is the pool
+        # output at cin = c, 4x narrower).  Stage 0's blocks are all
+        # stride-1, which is what the run kernel's proj form supports.
+        if (
+            stage == 0 and nb > 1 and stage in RUN_FUSE_STAGES
+            and STAGE_FUSE_PROJ
+        ):
+            from resnetc_tpu.ops.pallas.block import (
+                _pick_bt_run_int8, chain_meta,
+            )
+
+            blk0 = blocks["0"]
+            if "wdq" in blk0:
+                hp, wp = chain_meta(0, h, w_sp)
+                c4, c = blocks["1"]["w1q"].shape
+                cin = blk0["w1q"].shape[0]
+                if _pick_bt_run_int8(
+                    yr.shape[0] // (hp * wp), hp, wp, c, c4, nb, cin=cin
+                ) > 0:
+                    run = [blocks[str(i)] for i in range(nb)]
+                    stk = lambda key, frm=0: jnp.stack(
+                        [r[key] for r in run[frm:]]
+                    )
+                    last = s_after(stage, nb - 1) is None
+                    yr = bottleneck_run_chained_int8(
+                        yr,
+                        stk("w1q", frm=1), stk("sw1"), stk("b1"),
+                        stk("w2pq"), stk("sw2p"), stk("b2"),
+                        stk("w3q"), stk("sw3"), stk("b3"),
+                        jnp.stack([scale_row(stage, i) for i in range(nb)]),
+                        h=h, w_sp=w_sp, emit_i8=not last, interpret=interpret,
+                        w1q0=blk0["w1q"], wdq=blk0["wdq"],
+                        swd=blk0["swd"], bd=blk0["bd"],
+                    )
+                    if stage_taps is not None:
+                        s_out = s_after(stage, nb - 1)
+                        tap = unpad_from_chain(yr, bsz, h, w_sp).astype(
+                            jnp.float32
+                        )
+                        stage_taps.append(
+                            tap * s_out if s_out is not None else tap
+                        )
+                    continue
 
         # Block 0: stride-1 projection (stage 0) or stride-2 ds megakernel.
         blk = blocks["0"]

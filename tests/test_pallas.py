@@ -841,3 +841,131 @@ def test_run_chained_int8_matches_sequential_blocks(rng):
         np.asarray(got, np.float32), np.asarray(ref, np.float32),
         rtol=2e-2, atol=2e-2,
     )
+
+
+def test_run_chained_int8_whole_stage_with_projection(rng):
+    """The whole-stage form of the run kernel (projection block 0 + N-1
+    identity blocks, ONE kernel, cin != 4c) == the same blocks through
+    bottleneck_block_chained_int8 sequentially."""
+    from resnetc_tpu.ops.pallas.block import (
+        bottleneck_block_chained_int8,
+        bottleneck_run_chained_int8,
+        pad_for_chain,
+        quantize_chain_block,
+    )
+    from resnetc_tpu.ops.pallas.quant import (
+        quantize_per_channel,
+        quantize_with_scale,
+    )
+
+    b, h, cin, c = 2, 8, 24, 16
+    c4 = 4 * c
+
+    def mk_blk(cin_n):
+        return {
+            "conv1": {
+                "weight": jnp.asarray(
+                    rng.standard_normal((cin_n, c), dtype=np.float32) * 0.1
+                ),
+                "bias": jnp.asarray(rng.standard_normal((c,), dtype=np.float32) * 0.1),
+            },
+            "conv2": {
+                "weight": jnp.asarray(
+                    rng.standard_normal((3, 3, c, c), dtype=np.float32) * 0.1
+                ),
+                "bias": jnp.asarray(rng.standard_normal((c,), dtype=np.float32) * 0.1),
+            },
+            "conv3": {
+                "weight": jnp.asarray(
+                    rng.standard_normal((c, c4), dtype=np.float32) * 0.1
+                ),
+                "bias": jnp.asarray(rng.standard_normal((c4,), dtype=np.float32) * 0.1),
+            },
+        }
+
+    q0 = quantize_chain_block(mk_blk(cin))
+    q1 = quantize_chain_block(mk_blk(c4))
+    wd = jnp.asarray(rng.standard_normal((cin, c4), dtype=np.float32) * 0.1)
+    bd = jnp.asarray(rng.standard_normal((c4,), dtype=np.float32) * 0.1)
+    wdq, swd = quantize_per_channel(wd)
+
+    s = [4.0 / 127, 3.0 / 127, 5.0 / 127, 4.5 / 127]
+    scales0 = jnp.asarray([s[0], s[1], s[2], s[3]], jnp.float32)
+    scales1 = jnp.asarray([s[3], s[1], s[2], 1.0], jnp.float32)
+
+    x = jnp.asarray(rng.standard_normal((b, h, h, cin), dtype=np.float32))
+    xr = pad_for_chain(quantize_with_scale(x, jnp.float32(s[0])))
+
+    y0 = bottleneck_block_chained_int8(
+        xr,
+        q0["w1q"], q0["sw1"], q0["b1"],
+        q0["w2pq"], q0["sw2p"], q0["b2"],
+        q0["w3q"], q0["sw3"], q0["b3"],
+        scales0, h=h, w_sp=h, emit_i8=True, interpret=True,
+        wdq=wdq, swd=swd, bd=bd,
+    )
+    ref = bottleneck_block_chained_int8(
+        y0,
+        q1["w1q"], q1["sw1"], q1["b1"],
+        q1["w2pq"], q1["sw2p"], q1["b2"],
+        q1["w3q"], q1["sw3"], q1["b3"],
+        scales1, h=h, w_sp=h, emit_i8=False, interpret=True,
+    )
+
+    stk = lambda key, qs: jnp.stack([q[key] for q in qs])
+    got = bottleneck_run_chained_int8(
+        xr,
+        stk("w1q", [q1]), stk("sw1", [q0, q1]), stk("b1", [q0, q1]),
+        stk("w2pq", [q0, q1]), stk("sw2p", [q0, q1]), stk("b2", [q0, q1]),
+        stk("w3q", [q0, q1]), stk("sw3", [q0, q1]), stk("b3", [q0, q1]),
+        jnp.stack([scales0, scales1]),
+        h=h, w_sp=h, emit_i8=False, interpret=True,
+        w1q0=q0["w1q"], wdq=wdq, swd=swd, bd=bd,
+    )
+    # Same int8 arithmetic on both paths: the run form must BIT-match.
+    np.testing.assert_array_equal(
+        np.asarray(got, np.float32), np.asarray(ref, np.float32)
+    )
+
+
+def test_int8_chain_stage_fuse_proj_bitmatch(rng, monkeypatch):
+    """STAGE_FUSE_PROJ (whole layer1 = ONE kernel, projection included)
+    must (a) actually take the whole-stage branch and (b) produce
+    BIT-identical logits to the per-block/identity-run path — both sides
+    run the same int8 arithmetic."""
+    from resnetc_tpu.ops.pallas import block as block_mod
+    from resnetc_tpu.ops.pallas import fused as fused_mod
+    from resnetc_tpu.ops.pallas.fused import (
+        calibrate_chain_scales,
+        fused_forward_int8_chain,
+        quantize_chain,
+    )
+
+    cfg = resnet.get_config("resnet50", num_classes=11)
+    variables = resnet.init(cfg, jax.random.key(5))
+    folded = resnet.fold_inference_params(cfg, variables)
+    x = jnp.asarray(rng.standard_normal((2, 64, 64, 3), dtype=np.float32))
+    scales = calibrate_chain_scales(cfg, folded, x)
+    qtree = quantize_chain(cfg, folded)
+
+    monkeypatch.setattr(fused_mod, "STAGE_FUSE_PROJ", False)
+    want = np.asarray(
+        fused_forward_int8_chain(cfg, qtree, scales, x, interpret=True),
+        np.float32,
+    )
+
+    calls = []
+    real_run = block_mod.bottleneck_run_chained_int8
+
+    def spy(*args, **kwargs):
+        calls.append(kwargs.get("w1q0") is not None)
+        return real_run(*args, **kwargs)
+
+    monkeypatch.setattr(fused_mod, "STAGE_FUSE_PROJ", True)
+    monkeypatch.setattr(block_mod, "bottleneck_run_chained_int8", spy)
+    got = np.asarray(
+        fused_forward_int8_chain(cfg, qtree, scales, x, interpret=True),
+        np.float32,
+    )
+    assert any(calls), "whole-stage branch never executed"
+    np.testing.assert_array_equal(got, want)
