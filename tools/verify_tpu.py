@@ -397,6 +397,37 @@ def _():
     return rel_mae(got, ref)
 
 
+@check("int8_chain whole-stage L1 fusion bit-matches per-block (on chip)", 0.0)
+def _():
+    from resnetc_tpu.ops.pallas import fused
+    from resnetc_tpu.tensor import BF16
+
+    cfg, _, folded, x, ref = _fixture()
+    scales = fused.calibrate_chain_scales(cfg, folded, x)
+    qtree = fused.quantize_chain(cfg, folded)
+
+    def run():
+        return np.asarray(
+            jax.jit(
+                lambda f, s, xx: fused.fused_forward_int8_chain(
+                    cfg, f, s, xx, policy=BF16
+                )
+            )(qtree, scales, x),
+            np.float32,
+        )
+
+    old = fused.STAGE_FUSE_PROJ
+    try:
+        fused.STAGE_FUSE_PROJ = True
+        got = run()
+        fused.STAGE_FUSE_PROJ = False
+        want = run()
+    finally:
+        fused.STAGE_FUSE_PROJ = old
+    assert (got == want).all(), "whole-stage L1 kernel diverges from per-block"
+    return 0.0
+
+
 def main() -> int:
     platform = jax.devices()[0].platform
     if platform != "tpu":
