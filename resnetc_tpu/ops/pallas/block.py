@@ -780,6 +780,222 @@ def bottleneck_block_chained_int8(
 
 
 # ---------------------------------------------------------------------------
+# BASIC-block megakernel (int8): one stride-1 BasicBlock (ResNet-18/34) as
+# ONE kernel over the chained padded-row layout — two 3x3 convs, both via
+# the kw-interleave machinery the bottleneck kernel uses for its conv2.
+# Completes the int8_chain backend's coverage of the reference's model
+# family (main.cu builds 18/34 from the same ResnetBlock graph it uses for
+# 50/101/152).  Unlike the bottleneck kernel (whose 1x1 conv1 + mask
+# launders the chain ring's garbage before any 3x3 sees it), conv1 here IS
+# a 3x3 reading x directly, so x is masked on the way into the interleave
+# scratch (the chain contract leaves garbage in border rows between
+# kernels).
+# ---------------------------------------------------------------------------
+
+
+def _basic_chained_kernel_int8(
+    x_ref, w1p_ref, c1_ref, w2p_ref, c2_ref, mask_ref,
+    a1_ref, a2_ref, s_ref,
+    o_ref, il_ref,
+    *, bt, hp, wp, c, cin, slot, emit_i8,
+):
+    """x_ref (rows, cin) int8 at scale s_x; w1p/w2p the kh-batched packed
+    3x3s ((kw,k) x (kh,j) — quantize_basic_block); a1/a2 (3, c) the
+    host-folded per-(kh,j) dequant scales (a1 := sw1p*s_x/s_z1,
+    c1 := b1/s_z1, a2 := sw2p*s_z1/s_y, c2 := b2/s_y); s_ref (SMEM, (1,))
+    the identity-residual scale s_x/s_y.  il_ref is ONE interleave scratch
+    reused for both convs (cin == c for every stride-1 basic block).
+    """
+    rows = bt * hp * wp
+    s_res = s_ref[0]
+
+    def interleave(vals, width):
+        il_ref[0 : wp + 8, :] = jnp.zeros((wp + 8, 3 * slot), il_ref.dtype)
+        il_ref[rows + wp - 8 : rows + 2 * wp, :] = jnp.zeros(
+            (wp + 8, 3 * slot), il_ref.dtype
+        )
+        for kw in range(3):
+            il_ref[
+                wp + 1 - kw : wp + 1 - kw + rows, kw * slot : kw * slot + width
+            ] = vals
+
+    def conv3x3(wp_ref, a_ref):
+        P = jax.lax.dot_general(
+            il_ref[:], wp_ref[:],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        return (
+            jax.lax.slice(P, (0, 0), (rows, c)).astype(jnp.float32)
+            * a_ref[0:1, :].astype(jnp.float32)
+            + jax.lax.slice(P, (wp, c), (wp + rows, 2 * c)).astype(jnp.float32)
+            * a_ref[1:2, :].astype(jnp.float32)
+            + jax.lax.slice(P, (2 * wp, 2 * c), (2 * wp + rows, 3 * c)).astype(
+                jnp.float32
+            )
+            * a_ref[2:3, :].astype(jnp.float32)
+        )
+
+    # conv1 (3x3, cin -> c): mask x (chain ring garbage must not enter a
+    # 3x3), interleave, one kh-batched dot, fused dequant+bias+relu+mask.
+    xm = jnp.where(mask_ref[:] > 0.0, x_ref[:], jnp.int8(0))
+    interleave(xm, cin)
+    z1 = jnp.maximum(conv3x3(w1p_ref, a1_ref) + c1_ref[:].astype(jnp.float32), 0.0)
+    z1 = z1 * mask_ref[:]
+    z1 = jnp.minimum(jnp.round(z1), 127.0).astype(jnp.int8)  # post-relu: no lower clip
+
+    # conv2 (3x3, c -> c) + identity residual + ReLU.
+    interleave(z1, c)
+    y = conv3x3(w2p_ref, a2_ref) + c2_ref[:].astype(jnp.float32)
+    y = y + x_ref[:].astype(jnp.float32) * s_res
+    y = jnp.maximum(y, 0.0)
+    if emit_i8:
+        o_ref[:] = jnp.minimum(jnp.round(y), 127.0).astype(jnp.int8)
+    else:
+        o_ref[:] = y.astype(o_ref.dtype)
+
+
+def _pick_bt_basic_int8(b: int, hp: int, wp: int, c: int) -> int:
+    """Largest divisor of B whose basic-chain working set fits the VMEM
+    budget (measured tables TBD on chip; the walk mirrors the bottleneck
+    picker's accounting)."""
+    budget = 40 * 2**20
+    slot = _round_up(c, 128)
+    weights = 2 * 9 * c * c
+
+    def work(bt: int) -> int:
+        rows = bt * hp * wp
+        return (
+            2 * rows * c * 1                    # x block (double-buffered)
+            + (rows + 2 * wp) * 3 * slot * 1    # interleave scratch (reused)
+            + (rows + 2 * wp) * 3 * c * 4       # P (int32)
+            + rows * c * 4                      # acc fp32
+            + 2 * rows * c * 1                  # out block (double-buffered)
+            + weights
+        )
+
+    best = 1
+    for bt in range(1, b + 1):
+        if b % bt:
+            continue
+        if work(bt) > budget:
+            break
+        best = bt
+    return best
+
+
+@functools.partial(
+    jax.jit, static_argnames=("h", "w_sp", "emit_i8", "bt", "interpret")
+)
+def basic_block_chained_int8(
+    xq: jax.Array,
+    w1pq: jax.Array, sw1p: jax.Array, b1: jax.Array,
+    w2pq: jax.Array, sw2p: jax.Array, b2: jax.Array,
+    scales: jax.Array,
+    *,
+    h: int, w_sp: int,
+    emit_i8: bool = True,
+    bt: int | None = None,
+    interpret: bool = False,
+) -> jax.Array:
+    """Int8 stride-1 BasicBlock over the chained padded-row layout.
+
+    xq: (B*Hp*Wp, c) int8 rows at scale scales[0]; w1pq/w2pq (3c, 3c) the
+    kh-batched packed 3x3s with per-(kh, j) column scales sw1p/sw2p (3c,);
+    biases f32.  scales: (3,) f32 = [s_x, s_z1, s_y].  Output is the same
+    padded-row layout, int8 at s_y when emit_i8 else bf16 (chain exit).
+    Reference capability: the k=3 branch of ResnetBlock (main.cu:18-46) at
+    expansion 1 — the ResNet-18/34 building block.
+    """
+    c = sw1p.shape[-1] // 3
+    hp, wp = chain_meta(0, h, w_sp)
+    total_rows, cin_in = xq.shape
+    b = total_rows // (hp * wp)
+    assert b * hp * wp == total_rows and cin_in == c, (xq.shape, c)
+    bt = bt or _pick_bt_basic_int8(b, hp, wp, c)
+
+    rows = bt * hp * wp
+    out_dtype = jnp.int8 if emit_i8 else jnp.bfloat16
+    slot = _round_up(c, 128)
+
+    def pad_slots(wq):
+        if slot == c:
+            return wq
+        return jnp.pad(
+            wq.reshape(3, c, 3 * c), ((0, 0), (0, slot - c), (0, 0))
+        ).reshape(3 * slot, 3 * c)
+
+    s_x, s_z1 = scales[0], scales[1]
+    s_y = scales[2] if emit_i8 else jnp.float32(1.0)
+    a1 = (sw1p.astype(jnp.float32) * (s_x / s_z1)).reshape(3, c)
+    c1 = (b1.astype(jnp.float32) * (1.0 / s_z1))[None, :]
+    a2 = (sw2p.astype(jnp.float32) * (s_z1 / s_y)).reshape(3, c)
+    c2 = (b2.astype(jnp.float32) * (1.0 / s_y))[None, :]
+    s_res = jnp.reshape(s_x / s_y, (1,)).astype(jnp.float32)
+
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (hp * wp, 1), 0)
+    r, cc = row_ids // wp, row_ids % wp
+    mask = ((r >= 1) & (r <= h) & (cc >= 1) & (cc <= w_sp)).astype(jnp.float32)
+    mask_t = jnp.tile(mask, (bt, 1))
+
+    return pl.pallas_call(
+        functools.partial(
+            _basic_chained_kernel_int8,
+            bt=bt, hp=hp, wp=wp, c=c, cin=c, slot=slot, emit_i8=emit_i8,
+        ),
+        grid=(b // bt,),
+        in_specs=[
+            pl.BlockSpec((rows, c), lambda i: (i, 0)),
+            pl.BlockSpec((3 * slot, 3 * c), lambda i: (0, 0)),
+            pl.BlockSpec((1, c), lambda i: (0, 0)),
+            pl.BlockSpec((3 * slot, 3 * c), lambda i: (0, 0)),
+            pl.BlockSpec((1, c), lambda i: (0, 0)),
+            pl.BlockSpec((rows, 1), lambda i: (0, 0)),
+            pl.BlockSpec((3, c), lambda i: (0, 0)),
+            pl.BlockSpec((3, c), lambda i: (0, 0)),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((rows, c), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((b * hp * wp, c), out_dtype),
+        scratch_shapes=[
+            pltpu.VMEM((rows + 2 * wp, 3 * slot), jnp.int8),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+            vmem_limit_bytes=100 * 2**20,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * hp * wp * 18 * c * c,
+            bytes_accessed=2 * b * hp * wp * c + 18 * c * c,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(
+        xq, pad_slots(w1pq), c1, pad_slots(w2pq), c2, mask_t, a1, a2, s_res
+    )
+
+
+def quantize_basic_block(blk: dict) -> dict:
+    """Quantize one BN-folded BasicBlock for the int8 basic chain kernel:
+    both 3x3s packed kh-batched ((kw,k) x (kh,j)) with per-(kh,j) column
+    scales — the same packing quantize_chain_block applies to the
+    bottleneck's conv2."""
+    from resnetc_tpu.ops.pallas.quant import quantize_per_channel
+
+    out = {}
+    for name in ("conv1", "conv2"):
+        w = blk[name]["weight"]
+        c = w.shape[-1]
+        wpk = jnp.transpose(w, (1, 2, 0, 3)).reshape(3 * w.shape[2], 3 * c)
+        wq, sw = quantize_per_channel(wpk)
+        key = "1" if name == "conv1" else "2"
+        out[f"w{key}pq"] = wq
+        out[f"sw{key}p"] = sw
+        out[f"b{key}"] = blk[name]["bias"]
+    return out
+
+
+# ---------------------------------------------------------------------------
 # Stage-run megakernel (int8): a RUN of same-shape identity bottleneck
 # blocks in ONE kernel.  The per-block chain kernels are auto-DMA-bandwidth
 # bound (~340 GB/s effective through the blocked pipeline), so every block

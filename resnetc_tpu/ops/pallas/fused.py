@@ -363,6 +363,11 @@ def calibrate_chain_scales(
                 y = lax_ops.relu(conv(z2, blk["conv3"], stride=1, relu=False) + short)
             else:
                 z = conv(y, blk["conv1"], stride=s, relu=True)
+                # Basic blocks record (in, z1) — the two quantization points
+                # of the basic chain kernel.  Stride-2 blocks are served
+                # bf16 (XLA) but their "in" is still the re-quantize scale
+                # at the stage boundary.
+                layer_scales[str(b)] = {"in": s_of(y), "z1": s_of(z)}
                 y = lax_ops.relu(conv(z, blk["conv2"], stride=1, relu=False) + short)
         if layer_scales:
             scales[f"layer{stage + 1}"] = layer_scales
@@ -370,10 +375,13 @@ def calibrate_chain_scales(
 
 
 def quantize_chain(cfg: ResNetConfig, folded: Pytree) -> Pytree:
-    """Quantize every bottleneck block for the int8 megakernels: stride-1
-    blocks (incl. layer1's projection block) for the chained kernel, stride-2
-    downsample blocks for the s2 phase-plane kernel; everything else keeps
-    its folded fp entries (served bf16)."""
+    """Quantize every residual block for the int8 megakernels.
+
+    Bottleneck: stride-1 blocks (incl. layer1's projection block) for the
+    chained kernel, stride-2 downsample blocks for the s2 phase-plane
+    kernel.  Basic (ResNet-18/34): stride-1 blocks for the basic chain
+    kernel; the stride-2 transition blocks keep their folded fp entries
+    (served bf16 by XLA between chains)."""
     from resnetc_tpu.ops.pallas.block import quantize_chain_block, quantize_ds_block
 
     out = {k: v for k, v in folded.items() if not k.startswith("layer")}
@@ -383,7 +391,17 @@ def quantize_chain(cfg: ResNetConfig, folded: Pytree) -> Pytree:
         qblocks = {}
         for b_str, blk in blocks.items():
             if cfg.block != "bottleneck":
-                qblocks[b_str] = blk
+                # Basic blocks: stride-1 blocks quantize for the basic chain
+                # kernel; the stride-2 stage-transition blocks keep their
+                # folded fp entries (served bf16 by XLA between chains).
+                if b_str == "0" and stage_stride == 2:
+                    qblocks[b_str] = blk
+                else:
+                    from resnetc_tpu.ops.pallas.block import (
+                        quantize_basic_block,
+                    )
+
+                    qblocks[b_str] = quantize_basic_block(blk)
             elif b_str == "0" and stage_stride == 2:
                 qblocks[b_str] = quantize_ds_block(blk)
             else:
@@ -399,6 +417,114 @@ def quantize_chain(cfg: ResNetConfig, folded: Pytree) -> Pytree:
                 qblocks[b_str] = q
         out[f"layer{stage + 1}"] = qblocks
     return out
+
+
+def _basic_int8_chain_forward(
+    cfg: ResNetConfig,
+    qtree: Pytree,
+    chain_scales: Pytree,
+    x: jax.Array,
+    *,
+    policy: DtypePolicy = BF16,
+    interpret: bool = False,
+    stage_taps: list | None = None,
+) -> jax.Array:
+    """int8_chain serving forward for BASIC configs (ResNet-18/34).
+
+    Every stride-1 BasicBlock is ONE int8 megakernel
+    (basic_block_chained_int8); the three stride-2 stage-transition blocks
+    run bf16 in XLA between chains (dequantize -> fp block -> requantize;
+    their activations are the network's smallest, so the boundary passes
+    are cheap).  Same per-block calibration contract as the bottleneck
+    path: block k's output scale is block k+1's "in"."""
+    from resnetc_tpu.ops.pallas.block import (
+        basic_block_chained_int8,
+        pad_for_chain,
+        unpad_from_chain,
+    )
+    from resnetc_tpu.ops.pallas.quant import quantize_with_scale
+
+    def site(stage, b):
+        return chain_scales[f"layer{stage + 1}"][str(b)]
+
+    def s_after(stage, b):
+        if b + 1 < cfg.stage_blocks[stage]:
+            return site(stage, b + 1)["in"]
+        if stage + 1 < 4:
+            return site(stage + 1, 0)["in"]
+        return None
+
+    def scale_row(stage, b):
+        st = site(stage, b)
+        s_y = s_after(stage, b)
+        return jnp.stack(
+            [st["in"], st["z1"], s_y if s_y is not None else jnp.float32(1.0)]
+        ).astype(jnp.float32)
+
+    x = x.astype(policy.compute)
+    y = _conv(x, qtree["conv1"], stride=2, relu=True, policy=policy, interpret=interpret)
+    yq = quantize_with_scale(y, site(0, 0)["in"])
+    yq = lax_ops.max_pool2d(yq, kernel_size=3, stride=2, padding=1)
+
+    bsz, h, w_sp, _ = yq.shape
+    yr = pad_for_chain(yq)
+
+    for stage in range(4):
+        blocks = qtree[f"layer{stage + 1}"]
+        nb = cfg.stage_blocks[stage]
+        start = 0
+        if stage > 0:
+            # Stride-2 transition block, bf16 XLA: dequantize the chain
+            # buffer, run the fp block, requantize at the next block's "in".
+            blk = blocks["0"]
+            y = unpad_from_chain(yr, bsz, h, w_sp)
+            y = (y.astype(jnp.float32) * site(stage, 0)["in"]).astype(
+                policy.compute
+            )
+            short = _conv(
+                y, blk["downsample"], stride=2, relu=False,
+                policy=policy, interpret=interpret,
+            )
+            z = _conv(y, blk["conv1"], stride=2, relu=True, policy=policy, interpret=interpret)
+            y = _conv(
+                z, blk["conv2"], stride=1, relu=True, residual=short,
+                policy=policy, interpret=interpret,
+            )
+            h, w_sp = (h + 1) // 2, (w_sp + 1) // 2
+            s_out0 = s_after(stage, 0)
+            last0 = s_out0 is None
+            if not last0:
+                yr = pad_for_chain(quantize_with_scale(y, s_out0))
+            else:  # nb == 1 tail (not a torchvision config; completeness)
+                yr = pad_for_chain(y)
+            start = 1
+
+        for i in range(start, nb):
+            blk = blocks[str(i)]
+            last_i = s_after(stage, i) is None
+            yr = basic_block_chained_int8(
+                yr,
+                blk["w1pq"], blk["sw1p"], blk["b1"],
+                blk["w2pq"], blk["sw2p"], blk["b2"],
+                scale_row(stage, i),
+                h=h, w_sp=w_sp, emit_i8=not last_i, interpret=interpret,
+            )
+
+        if stage_taps is not None:
+            s_out = s_after(stage, nb - 1)
+            tap = unpad_from_chain(yr, bsz, h, w_sp).astype(jnp.float32)
+            stage_taps.append(tap * s_out if s_out is not None else tap)
+
+    y = unpad_from_chain(yr, bsz, h, w_sp)
+    feats = jnp.mean(y.astype(jnp.float32), axis=(1, 2)).astype(policy.compute)
+    logits = matmul(
+        feats,
+        jnp.transpose(qtree["fc"]["weight"]).astype(policy.compute),
+        qtree["fc"]["bias"],
+        out_dtype=policy.output,
+        interpret=interpret,
+    )
+    return logits
 
 
 def fused_forward_int8_chain(
@@ -427,8 +553,9 @@ def fused_forward_int8_chain(
     (layer1's projection block included), stage transitions via
     downsample_block_s2_int8 (which reads the previous stage's int8 output
     as phase planes and emits the new stage's chain layout directly).  The
-    very last block emits bf16 rows for the head.  Falls back to the bf16
-    fused path for non-bottleneck configs.
+    very last block emits bf16 rows for the head.  Basic configs
+    (ResNet-18/34) route to _basic_int8_chain_forward — same contract,
+    basic megakernels.
     """
     from resnetc_tpu.ops.pallas.block import (
         bottleneck_block_chained_int8,
@@ -440,7 +567,10 @@ def fused_forward_int8_chain(
     from resnetc_tpu.ops.pallas.quant import quantize_with_scale
 
     if cfg.block != "bottleneck":
-        return fused_forward(cfg, qtree, x, policy=policy, interpret=interpret)
+        return _basic_int8_chain_forward(
+            cfg, qtree, chain_scales, x,
+            policy=policy, interpret=interpret, stage_taps=stage_taps,
+        )
 
     def site(stage, b):
         return chain_scales[f"layer{stage + 1}"][str(b)]

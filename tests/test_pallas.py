@@ -969,3 +969,113 @@ def test_int8_chain_stage_fuse_proj_bitmatch(rng, monkeypatch):
     )
     assert any(calls), "whole-stage branch never executed"
     np.testing.assert_array_equal(got, want)
+
+
+def test_basic_block_chained_int8_matches_quant_reference(rng):
+    """The basic-block int8 megakernel == an explicit int8 quantized
+    reference (same rounding at every stage) on the interior."""
+    from resnetc_tpu.ops.pallas.block import (
+        basic_block_chained_int8,
+        chain_meta,
+        pad_for_chain,
+        quantize_basic_block,
+        unpad_from_chain,
+    )
+    from resnetc_tpu.ops.pallas.quant import quantize_with_scale
+
+    b, h, c = 2, 8, 16
+    x = jnp.asarray(rng.standard_normal((b, h, h, c), dtype=np.float32))
+    blk = {
+        "conv1": {
+            "weight": jnp.asarray(
+                rng.standard_normal((3, 3, c, c), dtype=np.float32) * 0.1
+            ),
+            "bias": jnp.asarray(rng.standard_normal((c,), dtype=np.float32) * 0.1),
+        },
+        "conv2": {
+            "weight": jnp.asarray(
+                rng.standard_normal((3, 3, c, c), dtype=np.float32) * 0.1
+            ),
+            "bias": jnp.asarray(rng.standard_normal((c,), dtype=np.float32) * 0.1),
+        },
+    }
+    q = quantize_basic_block(blk)
+    s_x, s_z1, s_y = 4.0 / 127, 3.0 / 127, 5.0 / 127
+    scales = jnp.asarray([s_x, s_z1, s_y], jnp.float32)
+
+    xr = pad_for_chain(quantize_with_scale(x, jnp.float32(s_x)))
+    got_r = basic_block_chained_int8(
+        xr,
+        q["w1pq"], q["sw1p"], q["b1"],
+        q["w2pq"], q["sw2p"], q["b2"],
+        scales, h=h, w_sp=h, emit_i8=True, interpret=True,
+    )
+    got = np.asarray(unpad_from_chain(got_r, b, h, h), np.float32) * s_y
+
+    # Quantized reference with identical arithmetic (fp32, same rounding).
+    def quant(v, s):
+        return jnp.clip(jnp.round(v * (1.0 / s)), -127.0, 127.0)
+
+    xq = quant(x, s_x)
+    # conv1: int dot == fp dot on integer values; emulate with fp32 conv on
+    # the quantized operands.  Per-(kh,j) scales mean the conv accumulates
+    # over kh with different column scales — run the three kh rows apart.
+    w1q = q["w1pq"].astype(jnp.float32).reshape(3, c, 3, c)  # (kw, k, kh, j)
+    w1 = jnp.transpose(w1q, (2, 0, 1, 3))  # (kh, kw, k, j)
+    p1 = sum(
+        lax_ops.conv2d(
+            xq.astype(jnp.float32), jnp.where(
+                (jnp.arange(3) == kh)[:, None, None, None], w1, 0.0
+            ), stride=1, padding=1,
+        )
+        * q["sw1p"].astype(jnp.float32).reshape(3, c)[kh] * (s_x / s_z1)
+        for kh in range(3)
+    )
+    z1 = jnp.maximum(p1 + blk["conv1"]["bias"] / s_z1, 0.0)
+    z1q = jnp.minimum(jnp.round(z1), 127.0)
+
+    w2q = q["w2pq"].astype(jnp.float32).reshape(3, c, 3, c)
+    w2 = jnp.transpose(w2q, (2, 0, 1, 3))
+    p2 = sum(
+        lax_ops.conv2d(
+            z1q, jnp.where((jnp.arange(3) == kh)[:, None, None, None], w2, 0.0),
+            stride=1, padding=1,
+        )
+        * q["sw2p"].astype(jnp.float32).reshape(3, c)[kh] * (s_z1 / s_y)
+        for kh in range(3)
+    )
+    y = jnp.maximum(p2 + blk["conv2"]["bias"] / s_y + xq * (s_x / s_y), 0.0)
+    ref = np.asarray(jnp.minimum(jnp.round(y), 127.0), np.float32) * s_y
+
+    np.testing.assert_allclose(got, ref, rtol=0, atol=1e-5)
+
+
+def test_fused_forward_int8_chain_basic_close_to_fp(rng):
+    """The int8_chain backend covers the BASIC family (ResNet-18/34): every
+    stride-1 block one megakernel, stage transitions bf16 XLA — logits stay
+    close to the fp folded path."""
+    from resnetc_tpu.ops.pallas.fused import (
+        calibrate_chain_scales,
+        fused_forward_int8_chain,
+        quantize_chain,
+    )
+
+    cfg = resnet.get_config("resnet18", num_classes=11)
+    variables = resnet.init(cfg, jax.random.key(4))
+    folded = resnet.fold_inference_params(cfg, variables)
+    x = jnp.asarray(rng.standard_normal((8, 64, 64, 3), dtype=np.float32))
+
+    ref = np.asarray(resnet.forward_folded(cfg, folded, x), np.float32)
+    scales = calibrate_chain_scales(cfg, folded, x)
+    qtree = quantize_chain(cfg, folded)
+    taps: list = []
+    got = np.asarray(
+        fused_forward_int8_chain(
+            cfg, qtree, scales, x, interpret=True, stage_taps=taps
+        ),
+        np.float32,
+    )
+    assert len(taps) == 4
+    rel_mae = np.mean(np.abs(got - ref)) / np.mean(np.abs(ref))
+    assert rel_mae < 0.05, rel_mae
+    assert (got.argmax(-1) == ref.argmax(-1)).mean() >= 0.9
