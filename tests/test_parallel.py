@@ -291,3 +291,32 @@ def test_tp_forward_matches_replicated():
     xs = jax.device_put(x, batch_sharding(mesh))
     got, _ = jax.jit(lambda v, xx: resnet.forward(cfg, v, xx, policy=FP32))(vs, xs)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-4, atol=1e-5)
+
+
+def test_dp_int8_chain_basic_matches_single_device(rng):
+    """The basic-family (ResNet-18) int8_chain path under the DP shard_map
+    == single device, same contract as the bottleneck test."""
+    from resnetc_tpu.ops.pallas.fused import (
+        calibrate_chain_scales,
+        fused_forward_int8_chain,
+        fused_forward_int8_chain_sharded,
+        quantize_chain,
+    )
+
+    cfg = resnet.get_config("resnet18", num_classes=11)
+    variables = resnet.init(cfg, jax.random.key(6))
+    folded = resnet.fold_inference_params(cfg, variables)
+    x = jnp.asarray(rng.standard_normal((8, 64, 64, 3), dtype=np.float32))
+    scales = calibrate_chain_scales(cfg, folded, x)
+    qtree = quantize_chain(cfg, folded)
+
+    want = np.asarray(
+        fused_forward_int8_chain(cfg, qtree, scales, x, interpret=True),
+        np.float32,
+    )
+    mesh = create_mesh(n_data=8)
+    got = np.asarray(
+        fused_forward_int8_chain_sharded(cfg, qtree, scales, x, mesh, interpret=True),
+        np.float32,
+    )
+    _assert_int8_serving_close(got, want)
