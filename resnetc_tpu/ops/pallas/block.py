@@ -37,6 +37,26 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+def _interleave_kw(il_ref, vals, *, rows, wp, slot, width):
+    """Write ``vals`` (rows, width) into the kw-interleaved conv scratch:
+    zero head/tail fills (load-bearing — see the chain-kernel history), then
+    one store per kw slot at row offset wp+1-kw (kw=1 lands aligned on wp;
+    the ±1 offsets pay one sublane rotate each — a VMEM->VMEM DMA
+    alternative is rejected by Mosaic: misaligned-row DMA slices only work
+    on untiled dims).  Slots sit at 128-aligned lane offsets (``slot``);
+    padded weight rows are ZERO at slot tails so slot-lane garbage
+    multiplies zero.  Shared by the bottleneck chain, stage-run, and basic
+    kernels — the invariants live once."""
+    il_ref[0 : wp + 8, :] = jnp.zeros((wp + 8, 3 * slot), il_ref.dtype)
+    il_ref[rows + wp - 8 : rows + 2 * wp, :] = jnp.zeros(
+        (wp + 8, 3 * slot), il_ref.dtype
+    )
+    for kw in range(3):
+        il_ref[
+            wp + 1 - kw : wp + 1 - kw + rows, kw * slot : kw * slot + width
+        ] = vals
+
+
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
@@ -379,26 +399,13 @@ def _chained_kernel_int8(
     z1 = z1 * mask_ref[:]
     z1 = jnp.minimum(jnp.round(z1), 127.0).astype(jnp.int8)  # post-relu: no lower clip
 
-    # The head/tail zero-fills ARE load-bearing even in int8 (removing them
-    # broke interior parity in interpret mode); keep them.
-    z1_ref[0 : wp + 8, :] = jnp.zeros((wp + 8, 3 * slot), z1_ref.dtype)
-    z1_ref[rows + wp - 8 : rows + 2 * wp, :] = jnp.zeros(
-        (wp + 8, 3 * slot), z1_ref.dtype
-    )
-    # kw interleave at offsets wp+1-kw (kw=1 lands aligned on wp; the ±1
-    # offsets pay one sublane rotate each — a VMEM->VMEM DMA alternative
-    # is rejected by Mosaic: "tile index in dimension 0 is divisible by
-    # the tiling (8)" — misaligned-row DMA slices only work on untiled
-    # dims).  Slots pad to `slot` lanes; padded weight rows are ZERO at
-    # slot tails so slot-lane garbage contributes nothing.  A PAIRED
+    # The head/tail zero-fills inside ARE load-bearing even in int8
+    # (removing them broke interior parity in interpret mode).  A PAIRED
     # two-kw-per-tile layout (K 384 -> 256, all stores tile-aligned) was
     # tried in round 3 and measured WORSE (L1b1 1.53 -> 1.79 ms, L1b0
     # 1.63 -> 6.69 ms): the value-level int8 lane concats it needs are
     # exactly the in-kernel lane-repacking relayout trap.
-    for kw in range(3):
-        z1_ref[
-            wp + 1 - kw : wp + 1 - kw + rows, kw * slot : kw * slot + c
-        ] = z1
+    _interleave_kw(z1_ref, z1, rows=rows, wp=wp, slot=slot, width=c)
 
     # --- conv2 (3x3 s1) + conv3 + epilogue.
     #
@@ -797,27 +804,20 @@ def _basic_chained_kernel_int8(
     x_ref, w1p_ref, c1_ref, w2p_ref, c2_ref, mask_ref,
     a1_ref, a2_ref, s_ref,
     o_ref, il_ref,
-    *, bt, hp, wp, c, cin, slot, emit_i8,
+    *, bt, hp, wp, c, slot, emit_i8,
 ):
-    """x_ref (rows, cin) int8 at scale s_x; w1p/w2p the kh-batched packed
-    3x3s ((kw,k) x (kh,j) — quantize_basic_block); a1/a2 (3, c) the
-    host-folded per-(kh,j) dequant scales (a1 := sw1p*s_x/s_z1,
-    c1 := b1/s_z1, a2 := sw2p*s_z1/s_y, c2 := b2/s_y); s_ref (SMEM, (1,))
-    the identity-residual scale s_x/s_y.  il_ref is ONE interleave scratch
-    reused for both convs (cin == c for every stride-1 basic block).
+    """x_ref (rows, c) int8 at scale s_x (cin == c for every stride-1
+    basic block); w1p/w2p the kh-batched packed 3x3s ((kw,k) x (kh,j) —
+    quantize_basic_block); a1/a2 (3, c) the host-folded per-(kh,j) dequant
+    scales (a1 := sw1p*s_x/s_z1, c1 := b1/s_z1, a2 := sw2p*s_z1/s_y,
+    c2 := b2/s_y); s_ref (SMEM, (1,)) the identity-residual scale s_x/s_y.
+    il_ref is ONE interleave scratch reused for both convs.
     """
     rows = bt * hp * wp
     s_res = s_ref[0]
 
-    def interleave(vals, width):
-        il_ref[0 : wp + 8, :] = jnp.zeros((wp + 8, 3 * slot), il_ref.dtype)
-        il_ref[rows + wp - 8 : rows + 2 * wp, :] = jnp.zeros(
-            (wp + 8, 3 * slot), il_ref.dtype
-        )
-        for kw in range(3):
-            il_ref[
-                wp + 1 - kw : wp + 1 - kw + rows, kw * slot : kw * slot + width
-            ] = vals
+    def interleave(vals):
+        _interleave_kw(il_ref, vals, rows=rows, wp=wp, slot=slot, width=c)
 
     def conv3x3(wp_ref, a_ref):
         P = jax.lax.dot_general(
@@ -836,16 +836,16 @@ def _basic_chained_kernel_int8(
             * a_ref[2:3, :].astype(jnp.float32)
         )
 
-    # conv1 (3x3, cin -> c): mask x (chain ring garbage must not enter a
+    # conv1 (3x3, c -> c): mask x (chain ring garbage must not enter a
     # 3x3), interleave, one kh-batched dot, fused dequant+bias+relu+mask.
     xm = jnp.where(mask_ref[:] > 0.0, x_ref[:], jnp.int8(0))
-    interleave(xm, cin)
+    interleave(xm)
     z1 = jnp.maximum(conv3x3(w1p_ref, a1_ref) + c1_ref[:].astype(jnp.float32), 0.0)
     z1 = z1 * mask_ref[:]
     z1 = jnp.minimum(jnp.round(z1), 127.0).astype(jnp.int8)  # post-relu: no lower clip
 
     # conv2 (3x3, c -> c) + identity residual + ReLU.
-    interleave(z1, c)
+    interleave(z1)
     y = conv3x3(w2p_ref, a2_ref) + c2_ref[:].astype(jnp.float32)
     y = y + x_ref[:].astype(jnp.float32) * s_res
     y = jnp.maximum(y, 0.0)
@@ -941,7 +941,7 @@ def basic_block_chained_int8(
     return pl.pallas_call(
         functools.partial(
             _basic_chained_kernel_int8,
-            bt=bt, hp=hp, wp=wp, c=c, cin=c, slot=slot, emit_i8=emit_i8,
+            bt=bt, hp=hp, wp=wp, c=c, slot=slot, emit_i8=emit_i8,
         ),
         grid=(b // bt,),
         in_specs=[
@@ -1058,12 +1058,7 @@ def _run_chained_kernel_int8(
         z1 = z1 * mask_ref[:]
         z1 = jnp.minimum(jnp.round(z1), 127.0).astype(jnp.int8)  # post-relu: no lower clip
 
-        z1_ref[0 : wp + 8, :] = jnp.zeros((wp + 8, 3 * slot), z1_ref.dtype)
-        z1_ref[rows + wp - 8 : rows + 2 * wp, :] = jnp.zeros(
-            (wp + 8, 3 * slot), z1_ref.dtype
-        )
-        for kw in range(3):
-            z1_ref[wp + 1 - kw : wp + 1 - kw + rows, kw * slot : kw * slot + c] = z1
+        _interleave_kw(z1_ref, z1, rows=rows, wp=wp, slot=slot, width=c)
 
         P = jax.lax.dot_general(
             z1_ref[:], w2ps_ref[n * 3 * slot : (n + 1) * 3 * slot, :],
@@ -1153,10 +1148,13 @@ def _pick_bt_run_int8(
             + weights
         )
 
-    # Measured best bt (v5e, salted harness, 2026-08-17): the L1 c=64 run
-    # at bt=2 is 1.14x per-block; larger bt loses (bt=4: 0.76x — VMEM
-    # thrash).  Other stages don't run-fuse in production (RUN_FUSE_STAGES).
-    hit = {64: 2}.get(c)
+    # Measured best bt (v5e, salted harness, 2026-08-17): the L1 c=64
+    # 2-block identity run at bt=2 is 1.14x per-block; larger bt loses
+    # (bt=4: 0.76x — VMEM thrash).  The hit is keyed to the SWEPT config
+    # (c, n_blocks, identity-cin) so the whole-stage proj form (n=3,
+    # cin=64) walks/sweeps its own bt instead of inheriting this one.
+    # Other stages don't run-fuse in production (RUN_FUSE_STAGES).
+    hit = {(64, 2, 256): 2}.get((c, n_blocks, cin))
     if hit is not None and b % hit == 0 and work(hit) <= budget:
         return hit
     best = 0
@@ -1319,7 +1317,13 @@ def bottleneck_run_chained_int8(
             vmem_limit_bytes=100 * 2**20,
         ),
         cost_estimate=pl.CostEstimate(
-            flops=2 * b * hp * wp * n_blocks * (c4 * c + 9 * c * c + c * c4),
+            # Proj form: block 0's conv1 contracts over cin (not c4) and
+            # adds the wd projection dot.
+            flops=2 * b * hp * wp * (
+                n_blocks * (9 * c * c + c * c4)
+                + (n_blocks - 1) * c4 * c
+                + (cin * c + cin * c4 if has_proj else c4 * c)
+            ),
             bytes_accessed=b * hp * wp * (cin + c4),
             transcendentals=0,
         ),

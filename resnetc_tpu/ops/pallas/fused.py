@@ -419,6 +419,25 @@ def quantize_chain(cfg: ResNetConfig, folded: Pytree) -> Pytree:
     return out
 
 
+def _chain_scale_lookups(cfg: ResNetConfig, chain_scales: Pytree):
+    """(site, s_after) for the per-block calibration records: block k's
+    output scale IS block k+1's "in" — across stage boundaries too; None at
+    the network tail (the last block emits bf16).  Shared by the bottleneck
+    and basic int8_chain forwards so the chaining contract lives once."""
+
+    def site(stage, b):
+        return chain_scales[f"layer{stage + 1}"][str(b)]
+
+    def s_after(stage, b):
+        if b + 1 < cfg.stage_blocks[stage]:
+            return site(stage, b + 1)["in"]
+        if stage + 1 < 4:
+            return site(stage + 1, 0)["in"]
+        return None
+
+    return site, s_after
+
+
 def _basic_int8_chain_forward(
     cfg: ResNetConfig,
     qtree: Pytree,
@@ -444,15 +463,7 @@ def _basic_int8_chain_forward(
     )
     from resnetc_tpu.ops.pallas.quant import quantize_with_scale
 
-    def site(stage, b):
-        return chain_scales[f"layer{stage + 1}"][str(b)]
-
-    def s_after(stage, b):
-        if b + 1 < cfg.stage_blocks[stage]:
-            return site(stage, b + 1)["in"]
-        if stage + 1 < 4:
-            return site(stage + 1, 0)["in"]
-        return None
+    site, s_after = _chain_scale_lookups(cfg, chain_scales)
 
     def scale_row(stage, b):
         st = site(stage, b)
@@ -481,9 +492,13 @@ def _basic_int8_chain_forward(
             y = (y.astype(jnp.float32) * site(stage, 0)["in"]).astype(
                 policy.compute
             )
-            short = _conv(
-                y, blk["downsample"], stride=2, relu=False,
-                policy=policy, interpret=interpret,
+            short = (
+                _conv(
+                    y, blk["downsample"], stride=2, relu=False,
+                    policy=policy, interpret=interpret,
+                )
+                if "downsample" in blk
+                else y  # same rule as resnet._block_forward / calibration
             )
             z = _conv(y, blk["conv1"], stride=2, relu=True, policy=policy, interpret=interpret)
             y = _conv(
@@ -572,17 +587,7 @@ def fused_forward_int8_chain(
             policy=policy, interpret=interpret, stage_taps=stage_taps,
         )
 
-    def site(stage, b):
-        return chain_scales[f"layer{stage + 1}"][str(b)]
-
-    def s_after(stage, b):
-        """Scale of block (stage, b)'s output = next block's 'in' (None at
-        the network tail: the last block emits bf16)."""
-        if b + 1 < cfg.stage_blocks[stage]:
-            return site(stage, b + 1)["in"]
-        if stage + 1 < 4:
-            return site(stage + 1, 0)["in"]
-        return None
+    site, s_after = _chain_scale_lookups(cfg, chain_scales)
 
     x = x.astype(policy.compute)
     y = _conv(x, qtree["conv1"], stride=2, relu=True, policy=policy, interpret=interpret)
@@ -611,6 +616,7 @@ def fused_forward_int8_chain(
         # (rows, 4c) activation never crosses HBM (its x is the pool
         # output at cin = c, 4x narrower).  Stage 0's blocks are all
         # stride-1, which is what the run kernel's proj form supports.
+        stage_fused = False
         if (
             stage == 0 and nb > 1 and stage in RUN_FUSE_STAGES
             and STAGE_FUSE_PROJ
@@ -642,89 +648,87 @@ def fused_forward_int8_chain(
                         w1q0=blk0["w1q"], wdq=blk0["wdq"],
                         swd=blk0["swd"], bd=blk0["bd"],
                     )
-                    if stage_taps is not None:
-                        s_out = s_after(stage, nb - 1)
-                        tap = unpad_from_chain(yr, bsz, h, w_sp).astype(
-                            jnp.float32
-                        )
-                        stage_taps.append(
-                            tap * s_out if s_out is not None else tap
-                        )
-                    continue
+                    stage_fused = True
 
-        # Block 0: stride-1 projection (stage 0) or stride-2 ds megakernel.
-        blk = blocks["0"]
-        last0 = s_after(stage, 0) is None
-        if stage > 0:
-            yr = downsample_block_s2_int8(
-                yr,
-                blk["w1q"], blk["sw1"], blk["b1"],
-                blk["w2q"], blk["sw2"], blk["b2"],
-                blk["w3q"], blk["sw3"], blk["b3"],
-                blk["wdq"], blk["swd"], blk["bd"],
-                scale_row(stage, 0),
-                h=h, w_sp=w_sp, emit_i8=not last0,
-                interpret=interpret,
-            )
-            h, w_sp = (h + 1) // 2, (w_sp + 1) // 2
-        else:
-            yr = bottleneck_block_chained_int8(
-                yr,
-                blk["w1q"], blk["sw1"], blk["b1"],
-                blk["w2pq"], blk["sw2p"], blk["b2"],
-                blk["w3q"], blk["sw3"], blk["b3"],
-                scale_row(stage, 0),
-                h=h, w_sp=w_sp, emit_i8=not last0, interpret=interpret,
-                wdq=blk.get("wdq"), swd=blk.get("swd"), bd=blk.get("bd"),
-            )
-
-        # Blocks 1..nb-1.  bottleneck_run_chained_int8 can fuse a whole
-        # identity run into one kernel (activations ping-pong in VMEM).
-        # Round-2 measured it LOSING e2e (18.12 all-fused / 17.49
-        # per-block) — but under the old 16MB VMEM cap that forced bt=1
-        # (M-starved dots); the cap is 100MB now and RUN_FUSE_STAGES is
-        # module-level so the choice follows measurement (see PERF.md).
-        use_run = False
-        if nb > 1 and stage in RUN_FUSE_STAGES:
-            from resnetc_tpu.ops.pallas.block import _pick_bt_run_int8, chain_meta
-
-            hp, wp = chain_meta(0, h, w_sp)
-            c4, c = blocks["1"]["w1q"].shape
-            # VMEM-fit guard: degrade to per-block kernels rather than
-            # tripping the run kernel's fit assert on tight shapes.
-            use_run = _pick_bt_run_int8(
-                yr.shape[0] // (hp * wp), hp, wp, c, c4, nb - 1
-            ) > 0
-        if use_run:
-            run = [blocks[str(i)] for i in range(1, nb)]
-            stk = lambda key: jnp.stack([r[key] for r in run])
-            last = s_after(stage, nb - 1) is None
-            yr = bottleneck_run_chained_int8(
-                yr,
-                stk("w1q"), stk("sw1"), stk("b1"),
-                stk("w2pq"), stk("sw2p"), stk("b2"),
-                stk("w3q"), stk("sw3"), stk("b3"),
-                jnp.stack([scale_row(stage, i) for i in range(1, nb)]),
-                h=h, w_sp=w_sp, emit_i8=not last, interpret=interpret,
-            )
-        elif nb > 1:
-            for i in range(1, nb):
-                blk = blocks[str(i)]
-                last_i = s_after(stage, i) is None
-                # Head fold (tail block only, not when per-stage taps are
-                # requested): the kernel emits (B, 4c) pooled features
-                # directly — the 84MB tail activation never crosses HBM.
-                fold_head = last_i and stage_taps is None
+        if not stage_fused:
+            # Block 0: stride-1 projection (stage 0) or stride-2 ds
+            # megakernel.
+            blk = blocks["0"]
+            last0 = s_after(stage, 0) is None
+            if stage > 0:
+                yr = downsample_block_s2_int8(
+                    yr,
+                    blk["w1q"], blk["sw1"], blk["b1"],
+                    blk["w2q"], blk["sw2"], blk["b2"],
+                    blk["w3q"], blk["sw3"], blk["b3"],
+                    blk["wdq"], blk["swd"], blk["bd"],
+                    scale_row(stage, 0),
+                    h=h, w_sp=w_sp, emit_i8=not last0,
+                    interpret=interpret,
+                )
+                h, w_sp = (h + 1) // 2, (w_sp + 1) // 2
+            else:
                 yr = bottleneck_block_chained_int8(
                     yr,
                     blk["w1q"], blk["sw1"], blk["b1"],
                     blk["w2pq"], blk["sw2p"], blk["b2"],
                     blk["w3q"], blk["sw3"], blk["b3"],
-                    scale_row(stage, i),
-                    h=h, w_sp=w_sp, emit_i8=not last_i, interpret=interpret,
-                    emit_mean=fold_head,
+                    scale_row(stage, 0),
+                    h=h, w_sp=w_sp, emit_i8=not last0, interpret=interpret,
+                    wdq=blk.get("wdq"), swd=blk.get("swd"), bd=blk.get("bd"),
                 )
-                head_folded = head_folded or fold_head
+
+            # Blocks 1..nb-1.  bottleneck_run_chained_int8 can fuse a whole
+            # identity run into one kernel (activations ping-pong in VMEM).
+            # Round-2 measured it LOSING e2e (18.12 all-fused / 17.49
+            # per-block) — but under the old 16MB VMEM cap that forced bt=1
+            # (M-starved dots); the cap is 100MB now and RUN_FUSE_STAGES is
+            # module-level so the choice follows measurement (see PERF.md).
+            use_run = False
+            if nb > 1 and stage in RUN_FUSE_STAGES:
+                from resnetc_tpu.ops.pallas.block import (
+                    _pick_bt_run_int8, chain_meta,
+                )
+
+                hp, wp = chain_meta(0, h, w_sp)
+                c4, c = blocks["1"]["w1q"].shape
+                # VMEM-fit guard: degrade to per-block kernels rather than
+                # tripping the run kernel's fit assert on tight shapes.
+                use_run = _pick_bt_run_int8(
+                    yr.shape[0] // (hp * wp), hp, wp, c, c4, nb - 1
+                ) > 0
+            if use_run:
+                run = [blocks[str(i)] for i in range(1, nb)]
+                stk = lambda key: jnp.stack([r[key] for r in run])
+                last = s_after(stage, nb - 1) is None
+                yr = bottleneck_run_chained_int8(
+                    yr,
+                    stk("w1q"), stk("sw1"), stk("b1"),
+                    stk("w2pq"), stk("sw2p"), stk("b2"),
+                    stk("w3q"), stk("sw3"), stk("b3"),
+                    jnp.stack([scale_row(stage, i) for i in range(1, nb)]),
+                    h=h, w_sp=w_sp, emit_i8=not last, interpret=interpret,
+                )
+            elif nb > 1:
+                for i in range(1, nb):
+                    blk = blocks[str(i)]
+                    last_i = s_after(stage, i) is None
+                    # Head fold (tail block only, not when per-stage taps
+                    # are requested): the kernel emits (B, 4c) pooled
+                    # features directly — the 84MB tail activation never
+                    # crosses HBM.
+                    fold_head = last_i and stage_taps is None
+                    yr = bottleneck_block_chained_int8(
+                        yr,
+                        blk["w1q"], blk["sw1"], blk["b1"],
+                        blk["w2pq"], blk["sw2p"], blk["b2"],
+                        blk["w3q"], blk["sw3"], blk["b3"],
+                        scale_row(stage, i),
+                        h=h, w_sp=w_sp, emit_i8=not last_i,
+                        interpret=interpret,
+                        emit_mean=fold_head,
+                    )
+                    head_folded = head_folded or fold_head
 
         if stage_taps is not None:
             s_out = s_after(stage, nb - 1)
