@@ -77,7 +77,13 @@ def main() -> None:
     engines: dict[str, InferenceEngine] = {}
     for b in backends:
         try:
-            engines[b] = InferenceEngine(cfg, variables, policy=BF16, backend=b)
+            # int8 backends calibrate on the eval distribution itself (a
+            # slice of the bench batch) — not the unit-normal fallback —
+            # so the headline number's quantization matches its data.
+            engines[b] = InferenceEngine(
+                cfg, variables, policy=BF16, backend=b,
+                calib_batch=images[: min(8, batch)],
+            )
             tp = bench_throughput(engines[b], images, steps=steps)
             per_backend[b] = round(tp.images_per_sec, 2)
         except Exception as e:  # a broken backend must not kill the bench
