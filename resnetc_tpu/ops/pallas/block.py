@@ -975,6 +975,197 @@ def basic_block_chained_int8(
     )
 
 
+def _run_basic_kernel_int8(
+    x_ref, w1ps_ref, c1s_ref, w2ps_ref, c2s_ref, mask_ref,
+    a1s_ref, a2s_ref, s_ref,
+    o_ref, il_ref, act_ref,
+    *, n_blocks, bt, hp, wp, c, slot, emit_i8,
+):
+    """N stride-1 BasicBlocks over one VMEM-resident activation (the basic
+    twin of _run_chained_kernel_int8).  Stacked per-block params: w1ps/w2ps
+    (N*3*slot, 3c) int8 packed 3x3s; c1s/c2s (N, c), a1s/a2s (N*3, c) f32
+    host-folded; s_ref (SMEM, (N,)) per-block identity-residual scales.
+    act_ref (2, rows, c) int8 ping-pong.  Every block masks its input
+    before the 3x3 interleave — both the HBM x and our own act buffers
+    carry chain-ring garbage in border rows."""
+    rows = bt * hp * wp
+
+    for n in range(n_blocks):
+        last = n == n_blocks - 1
+        x_full = x_ref[:] if n == 0 else act_ref[(n - 1) % 2]
+
+        def conv3x3(ws_ref, as_ref):
+            P = jax.lax.dot_general(
+                il_ref[:],
+                ws_ref[n * 3 * slot : (n + 1) * 3 * slot, :],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )
+            return (
+                jax.lax.slice(P, (0, 0), (rows, c)).astype(jnp.float32)
+                * as_ref[3 * n : 3 * n + 1, :].astype(jnp.float32)
+                + jax.lax.slice(P, (wp, c), (wp + rows, 2 * c)).astype(jnp.float32)
+                * as_ref[3 * n + 1 : 3 * n + 2, :].astype(jnp.float32)
+                + jax.lax.slice(
+                    P, (2 * wp, 2 * c), (2 * wp + rows, 3 * c)
+                ).astype(jnp.float32)
+                * as_ref[3 * n + 2 : 3 * n + 3, :].astype(jnp.float32)
+            )
+
+        xm = jnp.where(mask_ref[:] > 0.0, x_full, jnp.int8(0))
+        _interleave_kw(il_ref, xm, rows=rows, wp=wp, slot=slot, width=c)
+        z1 = jnp.maximum(
+            conv3x3(w1ps_ref, a1s_ref)
+            + c1s_ref[n : n + 1, :].astype(jnp.float32),
+            0.0,
+        )
+        z1 = z1 * mask_ref[:]
+        z1 = jnp.minimum(jnp.round(z1), 127.0).astype(jnp.int8)
+
+        _interleave_kw(il_ref, z1, rows=rows, wp=wp, slot=slot, width=c)
+        y = conv3x3(w2ps_ref, a2s_ref) + c2s_ref[n : n + 1, :].astype(jnp.float32)
+        y = y + x_full.astype(jnp.float32) * s_ref[n]
+        y = jnp.maximum(y, 0.0)
+        if last and not emit_i8:
+            o_ref[:] = y.astype(o_ref.dtype)
+        else:
+            yq = jnp.minimum(jnp.round(y), 127.0).astype(jnp.int8)
+            if last:
+                o_ref[:] = yq
+            else:
+                act_ref[n % 2, :, :] = yq
+
+
+def _pick_bt_basic_run_int8(
+    b: int, hp: int, wp: int, c: int, n_blocks: int
+) -> int:
+    """Largest divisor of B whose basic-run working set fits VMEM (0 if even
+    bt=1 does not fit — the caller falls back to per-block kernels).
+    Measured tables TBD on chip."""
+    budget = 56 * 2**20
+    slot = _round_up(c, 128)
+    weights = n_blocks * 2 * 3 * slot * 3 * c
+
+    def work(bt: int) -> int:
+        rows = bt * hp * wp
+        return (
+            2 * rows * c * 1                    # x block (double-buffered)
+            + 2 * rows * c * 1                  # act ping-pong
+            + (rows + 2 * wp) * 3 * slot * 1    # interleave scratch
+            + (rows + 2 * wp) * 3 * c * 4       # P (int32)
+            + rows * c * 4                      # acc fp32
+            + 2 * rows * c * 1                  # out block (double-buffered)
+            + weights
+        )
+
+    best = 0
+    for bt in range(1, b + 1):
+        if b % bt:
+            continue
+        if work(bt) > budget:
+            break
+        best = bt
+    return best
+
+
+@functools.partial(
+    jax.jit, static_argnames=("h", "w_sp", "emit_i8", "bt", "interpret")
+)
+def basic_run_chained_int8(
+    xq: jax.Array,
+    w1pq_s: jax.Array, sw1p_s: jax.Array, b1_s: jax.Array,
+    w2pq_s: jax.Array, sw2p_s: jax.Array, b2_s: jax.Array,
+    scales_s: jax.Array,
+    *,
+    h: int, w_sp: int,
+    emit_i8: bool = True,
+    bt: int | None = None,
+    interpret: bool = False,
+) -> jax.Array:
+    """A run of N stride-1 BasicBlocks as ONE kernel (see
+    _run_basic_kernel_int8).  Stacked inputs: w1pq_s/w2pq_s (N, 3c, 3c),
+    sw1p_s/sw2p_s (N, 3c), b1_s/b2_s (N, c); scales_s (N, 3) rows
+    [s_x, s_z1, s_y] with row i's s_y equal to row i+1's s_x."""
+    n_blocks = w1pq_s.shape[0]
+    c = sw1p_s.shape[-1] // 3
+    hp, wp = chain_meta(0, h, w_sp)
+    total_rows, cin_in = xq.shape
+    b = total_rows // (hp * wp)
+    assert b * hp * wp == total_rows and cin_in == c, (xq.shape, c)
+    bt = bt or _pick_bt_basic_run_int8(b, hp, wp, c, n_blocks)
+    assert bt > 0, "basic run does not fit VMEM; use per-block kernels"
+
+    rows = bt * hp * wp
+    out_dtype = jnp.int8 if emit_i8 else jnp.bfloat16
+    slot = _round_up(c, 128)
+
+    def pad_slots(wq_s):
+        if slot == c:
+            return wq_s.reshape(n_blocks * 3 * c, 3 * c)
+        return jnp.pad(
+            wq_s.reshape(n_blocks, 3, c, 3 * c),
+            ((0, 0), (0, 0), (0, slot - c), (0, 0)),
+        ).reshape(n_blocks * 3 * slot, 3 * c)
+
+    s_x = scales_s[:, 0]
+    s_z1 = scales_s[:, 1]
+    s_y = scales_s[:, 2]
+    if not emit_i8:
+        s_y = s_y.at[n_blocks - 1].set(1.0)
+    a1 = (sw1p_s.astype(jnp.float32) * (s_x / s_z1)[:, None]).reshape(
+        n_blocks * 3, c
+    )
+    c1 = b1_s.astype(jnp.float32) * (1.0 / s_z1)[:, None]
+    a2 = (sw2p_s.astype(jnp.float32) * (s_z1 / s_y)[:, None]).reshape(
+        n_blocks * 3, c
+    )
+    c2 = b2_s.astype(jnp.float32) * (1.0 / s_y)[:, None]
+    s_res = (s_x / s_y).astype(jnp.float32)
+
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (hp * wp, 1), 0)
+    r, cc = row_ids // wp, row_ids % wp
+    mask = ((r >= 1) & (r <= h) & (cc >= 1) & (cc <= w_sp)).astype(jnp.float32)
+    mask_t = jnp.tile(mask, (bt, 1))
+
+    return pl.pallas_call(
+        functools.partial(
+            _run_basic_kernel_int8,
+            n_blocks=n_blocks, bt=bt, hp=hp, wp=wp, c=c, slot=slot,
+            emit_i8=emit_i8,
+        ),
+        grid=(b // bt,),
+        in_specs=[
+            pl.BlockSpec((rows, c), lambda i: (i, 0)),
+            pl.BlockSpec((n_blocks * 3 * slot, 3 * c), lambda i: (0, 0)),
+            pl.BlockSpec((n_blocks, c), lambda i: (0, 0)),
+            pl.BlockSpec((n_blocks * 3 * slot, 3 * c), lambda i: (0, 0)),
+            pl.BlockSpec((n_blocks, c), lambda i: (0, 0)),
+            pl.BlockSpec((rows, 1), lambda i: (0, 0)),
+            pl.BlockSpec((n_blocks * 3, c), lambda i: (0, 0)),
+            pl.BlockSpec((n_blocks * 3, c), lambda i: (0, 0)),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((rows, c), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((b * hp * wp, c), out_dtype),
+        scratch_shapes=[
+            pltpu.VMEM((rows + 2 * wp, 3 * slot), jnp.int8),
+            pltpu.VMEM((2, rows, c), jnp.int8),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+            vmem_limit_bytes=100 * 2**20,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * hp * wp * n_blocks * 18 * c * c,
+            bytes_accessed=2 * b * hp * wp * c,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(
+        xq, pad_slots(w1pq_s), c1, pad_slots(w2pq_s), c2, mask_t, a1, a2, s_res
+    )
+
+
 def quantize_basic_block(blk: dict) -> dict:
     """Quantize one BN-folded BasicBlock for the int8 basic chain kernel:
     both 3x3s packed kh-batched ((kw,k) x (kh,j)) with per-(kh,j) column

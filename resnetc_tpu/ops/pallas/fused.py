@@ -41,6 +41,12 @@ RUN_FUSE_STAGES: tuple = (0,)
 #: the 208MB intermediate at ResNet-50 b256 never crosses HBM).  A/B flag.
 STAGE_FUSE_PROJ: bool = True
 
+#: Stages (0-based) whose consecutive stride-1 BASIC blocks fuse into ONE
+#: basic_run_chained_int8 kernel (ResNet-18/34).  Mirrors RUN_FUSE_STAGES;
+#: per-stage sweep TBD on chip (layer1 is the DMA-heaviest, same as the
+#: bottleneck family where only stage 0 won).
+BASIC_RUN_FUSE_STAGES: tuple = (0,)
+
 
 def _xla_conv(x, entry, *, k, stride, padding, relu, policy):
     """XLA fallback for shapes Pallas doesn't cover (stem, stride-2 3x3)."""
@@ -514,16 +520,41 @@ def _basic_int8_chain_forward(
                 yr = pad_for_chain(y)
             start = 1
 
-        for i in range(start, nb):
-            blk = blocks[str(i)]
-            last_i = s_after(stage, i) is None
-            yr = basic_block_chained_int8(
-                yr,
-                blk["w1pq"], blk["sw1p"], blk["b1"],
-                blk["w2pq"], blk["sw2p"], blk["b2"],
-                scale_row(stage, i),
-                h=h, w_sp=w_sp, emit_i8=not last_i, interpret=interpret,
+        use_run = False
+        if nb - start > 1 and stage in BASIC_RUN_FUSE_STAGES:
+            from resnetc_tpu.ops.pallas.block import (
+                _pick_bt_basic_run_int8, basic_run_chained_int8, chain_meta,
             )
+
+            hp, wp = chain_meta(0, h, w_sp)
+            c = blocks[str(start)]["sw1p"].shape[-1] // 3
+            # VMEM-fit guard: degrade to per-block kernels, same contract
+            # as the bottleneck run fusion.
+            use_run = _pick_bt_basic_run_int8(
+                yr.shape[0] // (hp * wp), hp, wp, c, nb - start
+            ) > 0
+        if use_run:
+            run = [blocks[str(i)] for i in range(start, nb)]
+            stk = lambda key: jnp.stack([r[key] for r in run])
+            last = s_after(stage, nb - 1) is None
+            yr = basic_run_chained_int8(
+                yr,
+                stk("w1pq"), stk("sw1p"), stk("b1"),
+                stk("w2pq"), stk("sw2p"), stk("b2"),
+                jnp.stack([scale_row(stage, i) for i in range(start, nb)]),
+                h=h, w_sp=w_sp, emit_i8=not last, interpret=interpret,
+            )
+        else:
+            for i in range(start, nb):
+                blk = blocks[str(i)]
+                last_i = s_after(stage, i) is None
+                yr = basic_block_chained_int8(
+                    yr,
+                    blk["w1pq"], blk["sw1p"], blk["b1"],
+                    blk["w2pq"], blk["sw2p"], blk["b2"],
+                    scale_row(stage, i),
+                    h=h, w_sp=w_sp, emit_i8=not last_i, interpret=interpret,
+                )
 
         if stage_taps is not None:
             s_out = s_after(stage, nb - 1)

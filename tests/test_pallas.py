@@ -1079,3 +1079,107 @@ def test_fused_forward_int8_chain_basic_close_to_fp(rng):
     rel_mae = np.mean(np.abs(got - ref)) / np.mean(np.abs(ref))
     assert rel_mae < 0.05, rel_mae
     assert (got.argmax(-1) == ref.argmax(-1)).mean() >= 0.9
+
+
+def test_basic_run_chained_int8_matches_sequential_blocks(rng):
+    """The basic run megakernel (N BasicBlocks, one kernel, VMEM ping-pong)
+    BIT-matches the same N blocks through basic_block_chained_int8."""
+    from resnetc_tpu.ops.pallas.block import (
+        basic_block_chained_int8,
+        basic_run_chained_int8,
+        pad_for_chain,
+        quantize_basic_block,
+    )
+    from resnetc_tpu.ops.pallas.quant import quantize_with_scale
+
+    b, h, c = 2, 8, 16
+    x = jnp.asarray(rng.standard_normal((b, h, h, c), dtype=np.float32))
+
+    def mk():
+        return quantize_basic_block({
+            "conv1": {
+                "weight": jnp.asarray(
+                    rng.standard_normal((3, 3, c, c), dtype=np.float32) * 0.1
+                ),
+                "bias": jnp.asarray(
+                    rng.standard_normal((c,), dtype=np.float32) * 0.1
+                ),
+            },
+            "conv2": {
+                "weight": jnp.asarray(
+                    rng.standard_normal((3, 3, c, c), dtype=np.float32) * 0.1
+                ),
+                "bias": jnp.asarray(
+                    rng.standard_normal((c,), dtype=np.float32) * 0.1
+                ),
+            },
+        })
+
+    qs = [mk(), mk()]
+    s = [4.0 / 127, 3.0 / 127, 4.5 / 127]
+    scales0 = jnp.asarray([s[0], s[1], s[2]], jnp.float32)
+    scales1 = jnp.asarray([s[2], s[1], 1.0], jnp.float32)
+    xr = pad_for_chain(quantize_with_scale(x, jnp.float32(s[0])))
+
+    def one(q, xq, sc, emit):
+        return basic_block_chained_int8(
+            xq,
+            q["w1pq"], q["sw1p"], q["b1"],
+            q["w2pq"], q["sw2p"], q["b2"],
+            sc, h=h, w_sp=h, emit_i8=emit, interpret=True,
+        )
+
+    ref = one(qs[1], one(qs[0], xr, scales0, True), scales1, False)
+
+    stk = lambda key: jnp.stack([q[key] for q in qs])
+    got = basic_run_chained_int8(
+        xr,
+        stk("w1pq"), stk("sw1p"), stk("b1"),
+        stk("w2pq"), stk("sw2p"), stk("b2"),
+        jnp.stack([scales0, scales1]),
+        h=h, w_sp=h, emit_i8=False, interpret=True,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(got, np.float32), np.asarray(ref, np.float32)
+    )
+
+
+def test_int8_chain_basic_run_fuse_bitmatch(rng, monkeypatch):
+    """BASIC_RUN_FUSE_STAGES must (a) take the run branch and (b) produce
+    bit-identical resnet18 logits to the per-block path."""
+    from resnetc_tpu.ops.pallas import block as block_mod
+    from resnetc_tpu.ops.pallas import fused as fused_mod
+    from resnetc_tpu.ops.pallas.fused import (
+        calibrate_chain_scales,
+        fused_forward_int8_chain,
+        quantize_chain,
+    )
+
+    cfg = resnet.get_config("resnet18", num_classes=11)
+    variables = resnet.init(cfg, jax.random.key(7))
+    folded = resnet.fold_inference_params(cfg, variables)
+    x = jnp.asarray(rng.standard_normal((2, 64, 64, 3), dtype=np.float32))
+    scales = calibrate_chain_scales(cfg, folded, x)
+    qtree = quantize_chain(cfg, folded)
+
+    monkeypatch.setattr(fused_mod, "BASIC_RUN_FUSE_STAGES", ())
+    want = np.asarray(
+        fused_forward_int8_chain(cfg, qtree, scales, x, interpret=True),
+        np.float32,
+    )
+
+    calls = []
+    real_run = block_mod.basic_run_chained_int8
+
+    def spy(*args, **kwargs):
+        calls.append(True)
+        return real_run(*args, **kwargs)
+
+    monkeypatch.setattr(fused_mod, "BASIC_RUN_FUSE_STAGES", (0, 1, 2, 3))
+    monkeypatch.setattr(block_mod, "basic_run_chained_int8", spy)
+    got = np.asarray(
+        fused_forward_int8_chain(cfg, qtree, scales, x, interpret=True),
+        np.float32,
+    )
+    assert calls, "basic run branch never executed"
+    np.testing.assert_array_equal(got, want)
