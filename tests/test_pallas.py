@@ -1183,3 +1183,29 @@ def test_int8_chain_basic_run_fuse_bitmatch(rng, monkeypatch):
     )
     assert calls, "basic run branch never executed"
     np.testing.assert_array_equal(got, want)
+
+
+def test_fused_forward_int8_chain_resnet101_close_to_fp(rng):
+    """The deep end of the family (resnet101: 23-block layer3) through the
+    same int8 megakernel pipeline — pins that the c-keyed bt tables and
+    per-block scale chaining generalize past resnet50."""
+    from resnetc_tpu.ops.pallas.fused import (
+        calibrate_chain_scales,
+        fused_forward_int8_chain,
+        quantize_chain,
+    )
+
+    cfg = resnet.get_config("resnet101", num_classes=11)
+    variables = resnet.init(cfg, jax.random.key(9))
+    folded = resnet.fold_inference_params(cfg, variables)
+    x = jnp.asarray(rng.standard_normal((4, 64, 64, 3), dtype=np.float32))
+
+    ref = np.asarray(resnet.forward_folded(cfg, folded, x), np.float32)
+    scales = calibrate_chain_scales(cfg, folded, x)
+    qtree = quantize_chain(cfg, folded)
+    got = np.asarray(
+        fused_forward_int8_chain(cfg, qtree, scales, x, interpret=True), np.float32
+    )
+    rel_mae = np.mean(np.abs(got - ref)) / np.mean(np.abs(ref))
+    assert rel_mae < 0.05, rel_mae
+    assert (got.argmax(-1) == ref.argmax(-1)).mean() >= 0.9
