@@ -48,6 +48,7 @@ def _build_engine(run):
     return cfg, InferenceEngine(
         cfg, variables, policy=policy(run.policy),
         backend=run.backend, sharding=sharding, mesh=mesh,
+        calib_method=run.calib_method,
     )
 
 

@@ -38,6 +38,7 @@ class RunConfig:
     weights_dir: str | None = None  # reference raw-f32 weight directory
     data_dim: int = 1  # mesh data axis
     model_dim: int = 1  # mesh model axis (channel TP)
+    calib_method: str = "absmax"  # int8 activation calibration: absmax | percentile
     seed: int = 0
 
 
@@ -53,6 +54,13 @@ def add_run_args(p: argparse.ArgumentParser) -> None:
         default=None,
         help="directory of raw-f32 weight files named by state_dict key "
         "(the reference's save_weights.py format); random init if omitted",
+    )
+    p.add_argument(
+        "--calib-method",
+        default="absmax",
+        choices=["absmax", "percentile"],
+        help="int8 activation-scale calibration (percentile clips at the "
+        "99.9th percentile of |act| — robust to outlier activations)",
     )
     p.add_argument("--data-dim", type=int, default=1, help="mesh data-parallel axis size")
     p.add_argument("--model-dim", type=int, default=1, help="mesh channel-TP axis size")
@@ -70,5 +78,6 @@ def run_config_from_args(args: argparse.Namespace) -> RunConfig:
         weights_dir=args.weights_dir,
         data_dim=args.data_dim,
         model_dim=args.model_dim,
+        calib_method=args.calib_method,
         seed=args.seed,
     )

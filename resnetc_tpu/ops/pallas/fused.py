@@ -322,20 +322,35 @@ def calibrate_chain_scales(
     x: jax.Array,
     *,
     policy: DtypePolicy = BF16,
+    method: str = "absmax",
+    pct: float = 99.9,
 ) -> Pytree:
     """Static activation scales for the int8 block megakernels.
 
-    Runs the fp folded forward over a representative batch and records
-    absmax/127 at EVERY bottleneck block: the block INPUT ("in"), conv1's
-    post-ReLU output ("z1") and conv2's post-ReLU output ("z2").
-    Consecutive blocks share boundaries (block k's output scale IS block
-    k+1's "in" — across stage boundaries too), so the kernels' s_y always
-    comes from the next block's record.
+    Runs the fp folded forward over a representative batch and records a
+    range statistic /127 at EVERY residual block: the block INPUT ("in"),
+    conv1's post-ReLU output ("z1") and (bottleneck) conv2's post-ReLU
+    output ("z2").  Consecutive blocks share boundaries (block k's output
+    scale IS block k+1's "in" — across stage boundaries too), so the
+    kernels' s_y always comes from the next block's record.
+
+    ``method``: "absmax" (default — exact range, fragile to a single
+    outlier activation) or "percentile" (clip at the ``pct`` percentile of
+    |act|; the kernels clamp to ±127 on every quantize, so values past the
+    clip saturate instead of stretching the grid for everyone — the
+    standard robust-calibration trade).
     """
+    assert method in ("absmax", "percentile"), method
     scales: dict = {}
 
     def s_of(act):
-        return jnp.maximum(jnp.max(jnp.abs(act.astype(jnp.float32))) / 127.0, 1e-8)
+        a = jnp.abs(act.astype(jnp.float32))
+        stat = (
+            jnp.max(a)
+            if method == "absmax"
+            else jnp.percentile(a.reshape(-1), pct)
+        )
+        return jnp.maximum(stat / 127.0, 1e-8)
 
     def conv(xx, entry, *, stride, relu):
         w = entry["weight"].astype(policy.compute)

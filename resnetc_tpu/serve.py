@@ -44,6 +44,7 @@ class InferenceEngine:
         sharding: Any | None = None,
         backend: str = "xla",
         calib_batch: jax.Array | None = None,
+        calib_method: str = "absmax",
         mesh: Any | None = None,
     ):
         """``mesh`` (with a 'data' axis) enables data-parallel serving for
@@ -99,9 +100,16 @@ class InferenceEngine:
                 calib_batch = jax.random.normal(
                     jax.random.key(0), (8, 224, 224, 3), jnp.float32
                 )
+            # calib_method="percentile" clips activation ranges at the
+            # 99.9th percentile of |act| — robust when real data carries
+            # rare outlier activations (the kernels clamp, so outliers
+            # saturate instead of stretching the int8 grid).
             self._chain_scales = jax.tree.map(
                 jnp.asarray,
-                calibrate_chain_scales(model_cfg, folded, calib_batch, policy=policy),
+                calibrate_chain_scales(
+                    model_cfg, folded, calib_batch, policy=policy,
+                    method=calib_method,
+                ),
             )
             folded = quantize_chain(model_cfg, folded)
         # Pre-cast weights to the compute dtype once, on device — serving

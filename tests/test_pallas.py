@@ -1209,3 +1209,44 @@ def test_fused_forward_int8_chain_resnet101_close_to_fp(rng):
     rel_mae = np.mean(np.abs(got - ref)) / np.mean(np.abs(ref))
     assert rel_mae < 0.05, rel_mae
     assert (got.argmax(-1) == ref.argmax(-1)).mean() >= 0.9
+
+
+def test_percentile_calibration_robust_to_outliers(rng):
+    """With a calibration batch carrying rare extreme activations,
+    percentile calibration (clip + saturate) must yield LOWER e2e int8
+    error on clean data than absmax (which stretches the int8 grid to fit
+    the outliers)."""
+    from resnetc_tpu.ops.pallas.fused import (
+        calibrate_chain_scales,
+        fused_forward_int8_chain,
+        quantize_chain,
+    )
+
+    cfg = resnet.get_config("resnet50", num_classes=11)
+    variables = resnet.init(cfg, jax.random.key(3))
+    folded = resnet.fold_inference_params(cfg, variables)
+
+    x_clean = jnp.asarray(rng.standard_normal((8, 64, 64, 3), dtype=np.float32))
+    # Outlier calibration batch: a few pixels 60 sigma out — absmax scales
+    # blow up at every layer the outliers propagate through.
+    x_cal = np.asarray(x_clean).copy()
+    x_cal[0, :2, :2, :] = 60.0
+    x_cal = jnp.asarray(x_cal)
+
+    ref = np.asarray(resnet.forward_folded(cfg, folded, x_clean), np.float32)
+    qtree = quantize_chain(cfg, folded)
+
+    errs = {}
+    for method in ("absmax", "percentile"):
+        scales = calibrate_chain_scales(cfg, folded, x_cal, method=method)
+        got = np.asarray(
+            fused_forward_int8_chain(
+                cfg, qtree, scales, x_clean, interpret=True
+            ),
+            np.float32,
+        )
+        errs[method] = float(np.mean(np.abs(got - ref)) / np.mean(np.abs(ref)))
+
+    assert errs["percentile"] < errs["absmax"], errs
+    # And percentile stays accurate in absolute terms on clean data.
+    assert errs["percentile"] < 0.08, errs
