@@ -39,7 +39,10 @@ RUN_FUSE_STAGES: tuple = (0,)
 #: When stage 0 run-fuses, also pull the PROJECTION block 0 into the run —
 #: the whole layer1 stage as ONE kernel (x in at cin=64, out at c4=256;
 #: the 208MB intermediate at ResNet-50 b256 never crosses HBM).  A/B flag.
-STAGE_FUSE_PROJ: bool = True
+#: Default False until the on-chip battery validates the Mosaic-compiled
+#: path (interpret-mode bit-match is proven; the chip was unreachable when
+#: this landed) — flip after VERIFY_TPU + the A/B measure.
+STAGE_FUSE_PROJ: bool = False
 
 #: Stages (0-based) whose consecutive stride-1 BASIC blocks fuse into ONE
 #: basic_run_chained_int8 kernel (ResNet-18/34).  Mirrors RUN_FUSE_STAGES;
