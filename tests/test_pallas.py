@@ -843,10 +843,13 @@ def test_run_chained_int8_matches_sequential_blocks(rng):
     )
 
 
-def test_run_chained_int8_whole_stage_with_projection(rng):
+@pytest.mark.parametrize("bt", [None, 1])
+def test_run_chained_int8_whole_stage_with_projection(rng, bt):
     """The whole-stage form of the run kernel (projection block 0 + N-1
     identity blocks, ONE kernel, cin != 4c) == the same blocks through
-    bottleneck_block_chained_int8 sequentially."""
+    bottleneck_block_chained_int8 sequentially.  bt=1 forces multiple grid
+    steps (the picker takes bt=b at test shapes, leaving the multi-step
+    BlockSpec path untested otherwise)."""
     from resnetc_tpu.ops.pallas.block import (
         bottleneck_block_chained_int8,
         bottleneck_run_chained_int8,
@@ -919,7 +922,7 @@ def test_run_chained_int8_whole_stage_with_projection(rng):
         stk("w2pq", [q0, q1]), stk("sw2p", [q0, q1]), stk("b2", [q0, q1]),
         stk("w3q", [q0, q1]), stk("sw3", [q0, q1]), stk("b3", [q0, q1]),
         jnp.stack([scales0, scales1]),
-        h=h, w_sp=h, emit_i8=False, interpret=True,
+        h=h, w_sp=h, emit_i8=False, interpret=True, bt=bt,
         w1q0=q0["w1q"], wdq=wdq, swd=swd, bd=bd,
     )
     # Same int8 arithmetic on both paths: the run form must BIT-match.
