@@ -1253,3 +1253,35 @@ def test_percentile_calibration_robust_to_outliers(rng):
     assert errs["percentile"] < errs["absmax"], errs
     # And percentile stays accurate in absolute terms on clean data.
     assert errs["percentile"] < 0.08, errs
+
+
+def test_fused_forward_int8_chain_resnet34_close_to_fp(rng):
+    """resnet34 through int8_chain with run fusion forced on every stage:
+    multi-block basic runs (N=3..5) through basic_run_chained_int8 e2e."""
+    from resnetc_tpu.ops.pallas import fused as fused_mod
+    from resnetc_tpu.ops.pallas.fused import (
+        calibrate_chain_scales,
+        fused_forward_int8_chain,
+        quantize_chain,
+    )
+
+    cfg = resnet.get_config("resnet34", num_classes=11)
+    variables = resnet.init(cfg, jax.random.key(11))
+    folded = resnet.fold_inference_params(cfg, variables)
+    x = jnp.asarray(rng.standard_normal((4, 64, 64, 3), dtype=np.float32))
+
+    ref = np.asarray(resnet.forward_folded(cfg, folded, x), np.float32)
+    scales = calibrate_chain_scales(cfg, folded, x)
+    qtree = quantize_chain(cfg, folded)
+    old = fused_mod.BASIC_RUN_FUSE_STAGES
+    try:
+        fused_mod.BASIC_RUN_FUSE_STAGES = (0, 1, 2, 3)
+        got = np.asarray(
+            fused_forward_int8_chain(cfg, qtree, scales, x, interpret=True),
+            np.float32,
+        )
+    finally:
+        fused_mod.BASIC_RUN_FUSE_STAGES = old
+    rel_mae = np.mean(np.abs(got - ref)) / np.mean(np.abs(ref))
+    assert rel_mae < 0.05, rel_mae
+    assert (got.argmax(-1) == ref.argmax(-1)).mean() >= 0.9
