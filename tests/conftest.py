@@ -26,6 +26,10 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 
-@pytest.fixture(scope="session")
+@pytest.fixture()
 def rng() -> np.random.Generator:
+    # Function-scoped on purpose: a session-scoped generator makes every
+    # test's draws depend on which tests consumed the stream before it, so
+    # accuracy-threshold tests (int8 rel-MAE / argmax gates) flake with
+    # collection order.  Each test sees the same deterministic stream.
     return np.random.default_rng(1234)
