@@ -1546,7 +1546,7 @@ def _ds_block_s2_kernel(
     wd_ref, bd_ref, mask_ref,
     sw1_ref, sw2_ref, sw3_ref, swd_ref,
     o_ref, pl_ref, z1w_ref, dma_sems,
-    *, bt, hq, wq, hp2, wp2, c, cin, c4, emit_i8,
+    *, bt, hq, wq, hp2, wp2, c, cin, c4, emit_i8, pair_dma,
 ):
     """x6_ref: the INPUT stage's chain buffer left in HBM/ANY, viewed
     (B, hq, 2, wq, 2, cin) — a free reshape of the flat chain rows; plane
@@ -1589,65 +1589,101 @@ def _ds_block_s2_kernel(
     # slice at a cin multiple is tile-aligned — slicing a separate size-2
     # pw dim in the tiled minor zone is rejected by Mosaic ("slice along
     # dimension 4 must be aligned to tiling").
+    # pair_dma=True gathers only the two ph halves (2 DMAs; the pw pair
+    # stays interleaved in lanes): the innermost contiguous run grows from
+    # cin bytes (256 B at L2ds — the fine-grained class) to wq*2*cin bytes
+    # (15-32 KB), and the pw split moves to 128-aligned in-kernel lane
+    # slices (cin is a 128-multiple at every ds stage).  A/B flag; see
+    # tools/probe_ds_dma.py for the isolated gather measurement.
+    n_dma = 2 if pair_dma else 4
+
     def plane_dma(step, buf, p):
-        ph, pw = p // 2, p % 2
-        return pltpu.make_async_copy(
-            x6_ref.at[
+        if pair_dma:
+            src = x6_ref.at[pl.ds(step * bt, bt), :, p]
+        else:
+            ph, pw = p // 2, p % 2
+            src = x6_ref.at[
                 pl.ds(step * bt, bt), :, ph, :, pl.ds(pw * cin, cin)
-            ],
-            pl_ref.at[buf, p],
-            dma_sems.at[buf, p],
+            ]
+        return pltpu.make_async_copy(
+            src, pl_ref.at[buf, p], dma_sems.at[buf, p]
         )
 
     @pl.when(i == 0)
     def _():
-        for p in range(4):
+        for p in range(n_dma):
             plane_dma(0, 0, p).start()
 
     @pl.when(i + 1 < pl.num_programs(0))
     def _():
-        for p in range(4):
+        for p in range(n_dma):
             plane_dma(i + 1, (i + 1) % 2, p).start()
 
     cur = i % 2
-    for p in range(4):
+    for p in range(n_dma):
         plane_dma(i, cur, p).wait()
 
-    def plane(p):
-        return pl_ref[cur, p].reshape(rows, cin)
-
-    # --- conv1 (1x1, cin -> c): ONE dot over all four phase planes stacked
-    # in M (the per-plane dot+epilogue pairs serialized MXU-idle epilogues
-    # between quarter-size dots), one fused epilogue, then per-plane slices
-    # into the interleaved scratch.  Flat over all bt images: conv1 is
-    # per-pixel, image boundaries don't matter here.
-    zall = jax.lax.dot_general(
-        pl_ref[cur].reshape(4 * rows, cin), w1_ref[:],
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.int32,
-    )
-    zall = jnp.maximum(
-        zall.astype(jnp.float32) * sw1_ref[:].astype(jnp.float32)
-        + b1_ref[:].astype(jnp.float32),
-        0.0,
-    )
-    zall = zall * mask_ref[:].reshape(4 * rows, 1)
-    zall = jnp.minimum(jnp.round(zall), 127.0).astype(jnp.int8)  # post-relu: no lower clip
-    for ph in range(2):
+    # --- conv1 (1x1, cin -> c): fused dequant+bias+relu+mask epilogue,
+    # per-plane slices into the interleaved scratch.  Flat over all bt
+    # images: conv1 is per-pixel, image boundaries don't matter here.
+    if pair_dma:
+        # Two half-size dots, one per pw (operands are 128-aligned lane
+        # slices of the pair buffer — no garbage FLOPs, no relayout); rows
+        # [0:rows] of each are ph=0, [rows:2rows] ph=1.  mask_ref is
+        # host-ordered (pw, ph-concat) to match.
+        pairv = pl_ref[cur].reshape(2 * rows, 2 * cin)
         for pw in range(2):
-            p = ph * 2 + pw
-            zq = jax.lax.slice(zall, (p * rows, 0), ((p + 1) * rows, c))
+            zq = jax.lax.dot_general(
+                jax.lax.slice(
+                    pairv, (0, pw * cin), (2 * rows, (pw + 1) * cin)
+                ),
+                w1_ref[:],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )
+            zq = jnp.maximum(
+                zq.astype(jnp.float32) * sw1_ref[:].astype(jnp.float32)
+                + b1_ref[:].astype(jnp.float32),
+                0.0,
+            )
+            zq = zq * mask_ref[pw].reshape(2 * rows, 1)
+            zq = jnp.minimum(jnp.round(zq), 127.0).astype(jnp.int8)
+            zr = zq.reshape(2, rows, c)
+            z1w_ref[:, :, pw * c : (pw + 1) * c] = zr
             if pw == 0:
-                z1w_ref[ph, :, 0:c] = zq
-                # +1-row shifted copy for the v=2 taps; the last row is
-                # never read (max tap row = rows - 2).  (A VMEM->VMEM DMA
-                # can't do this: misaligned-row slices of tiled VMEM refs
-                # are rejected by Mosaic.)
-                z1w_ref[ph, 0 : rows - 1, 2 * c : 3 * c] = (
-                    jax.lax.slice_in_dim(zq, 1, rows, axis=0)
-                )
-            else:
-                z1w_ref[ph, :, c : 2 * c] = zq
+                for ph in range(2):
+                    z1w_ref[ph, 0 : rows - 1, 2 * c : 3 * c] = zr[ph, 1:rows]
+    else:
+        # ONE dot over all four phase planes stacked in M (the per-plane
+        # dot+epilogue pairs serialized MXU-idle epilogues between
+        # quarter-size dots).
+        zall = jax.lax.dot_general(
+            pl_ref[cur].reshape(4 * rows, cin), w1_ref[:],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        zall = jnp.maximum(
+            zall.astype(jnp.float32) * sw1_ref[:].astype(jnp.float32)
+            + b1_ref[:].astype(jnp.float32),
+            0.0,
+        )
+        zall = zall * mask_ref[:].reshape(4 * rows, 1)
+        zall = jnp.minimum(jnp.round(zall), 127.0).astype(jnp.int8)  # post-relu: no lower clip
+        for ph in range(2):
+            for pw in range(2):
+                p = ph * 2 + pw
+                zq = jax.lax.slice(zall, (p * rows, 0), ((p + 1) * rows, c))
+                if pw == 0:
+                    z1w_ref[ph, :, 0:c] = zq
+                    # +1-row shifted copy for the v=2 taps; the last row is
+                    # never read (max tap row = rows - 2).  (A VMEM->VMEM DMA
+                    # can't do this: misaligned-row slices of tiled VMEM refs
+                    # are rejected by Mosaic.)
+                    z1w_ref[ph, 0 : rows - 1, 2 * c : 3 * c] = (
+                        jax.lax.slice_in_dim(zq, 1, rows, axis=0)
+                    )
+                else:
+                    z1w_ref[ph, :, c : 2 * c] = zq
 
     # --- conv2 (3x3 stride 2): three aligned (M, 3c) @ (3c, c) int8 dots
     # over the FULL multi-image block (M = rows - wq - 1) — per-image dots
@@ -1676,7 +1712,14 @@ def _ds_block_s2_kernel(
     # keeps the in-image mapping one flat shift: compact conv row
     # u = r*wq + cc -> output chain row u + wp2 + 1.  The stride-2 1x1
     # shortcut reads x[2r, 2c] = plane (1,1) at the SAME compact row index.
-    pl3 = plane(3)
+    if pair_dma:
+        # Shortcut plane (ph=1, pw=1): the pw=1 lanes of the ph=1 pair —
+        # a 128-aligned lane slice (cin % 128 == 0 at every ds stage).
+        pl3 = jax.lax.slice(
+            pl_ref[cur, 1].reshape(rows, 2 * cin), (0, cin), (rows, 2 * cin)
+        )
+    else:
+        pl3 = pl_ref[cur, 3].reshape(rows, cin)
     for k in range(bt):
         base = k * hq * wq
         obase = k * hp2 * wp2 + wp2 + 1
@@ -1742,7 +1785,8 @@ def _pick_bt_ds_s2(b: int, hq: int, wq: int, cin: int, c: int, c4: int) -> int:
 
 
 @functools.partial(
-    jax.jit, static_argnames=("h", "w_sp", "emit_i8", "bt", "interpret")
+    jax.jit,
+    static_argnames=("h", "w_sp", "emit_i8", "bt", "pair_dma", "interpret"),
 )
 def downsample_block_s2_int8(
     xr: jax.Array,
@@ -1755,6 +1799,7 @@ def downsample_block_s2_int8(
     h: int, w_sp: int,
     emit_i8: bool = True,
     bt: int | None = None,
+    pair_dma: bool = False,
     interpret: bool = False,
 ) -> jax.Array:
     """Whole stride-2 bottleneck downsample block, one kernel, chain to chain.
@@ -1812,6 +1857,17 @@ def downsample_block_s2_int8(
         ]
     )
     masks_t = jnp.tile(masks, (1, bt, 1))
+    # pair_dma needs 128-aligned lane slices of the 2*cin pair; every real
+    # ResNet ds stage qualifies (cin = 256/512/1024).
+    pair_dma = pair_dma and cin % 128 == 0
+    if pair_dma:
+        # Kernel mask order for the per-pw conv1 dots: [pw][ph-concat rows].
+        masks_t = jnp.stack(
+            [
+                jnp.concatenate([masks_t[pw], masks_t[2 + pw]], axis=0)
+                for pw in range(2)
+            ]
+        )
 
     # Host-side scale folding (see kernel docstring).  The bf16 exit
     # (emit_i8=False) emits UNSCALED activations: s_y = 1.
@@ -1833,7 +1889,7 @@ def downsample_block_s2_int8(
         functools.partial(
             _ds_block_s2_kernel,
             bt=bt, hq=hq, wq=wq, hp2=hp2, wp2=wp2, c=c, cin=cin, c4=c4,
-            emit_i8=emit_i8,
+            emit_i8=emit_i8, pair_dma=pair_dma,
         ),
         grid=(b // bt,),
         in_specs=[
@@ -1846,7 +1902,10 @@ def downsample_block_s2_int8(
             pl.BlockSpec((1, c4), lambda i: (0, 0)),
             pl.BlockSpec((cin, c4), lambda i: (0, 0)),
             pl.BlockSpec((1, c4), lambda i: (0, 0)),
-            pl.BlockSpec((4, rows, 1), lambda i: (0, 0, 0)),
+            pl.BlockSpec(
+                (2, 2 * rows, 1) if pair_dma else (4, rows, 1),
+                lambda i: (0, 0, 0),
+            ),
             pl.BlockSpec((1, c), lambda i: (0, 0)),
             pl.BlockSpec((1, c), lambda i: (0, 0)),
             pl.BlockSpec((1, c4), lambda i: (0, 0)),
@@ -1855,10 +1914,15 @@ def downsample_block_s2_int8(
         out_specs=pl.BlockSpec((rows_out, c4), lambda i: (i, 0)),
         out_shape=jax.ShapeDtypeStruct((b * hp2 * wp2, c4), out_dtype),
         scratch_shapes=[
-            # DMA'd phase planes, double-buffered across grid steps
-            pltpu.VMEM((2, 4, bt, hq, wq, cin), jnp.int8),
+            # DMA'd phase planes (or ph pairs), double-buffered across steps
+            pltpu.VMEM(
+                (2, 2, bt, hq, wq, 2 * cin)
+                if pair_dma
+                else (2, 4, bt, hq, wq, cin),
+                jnp.int8,
+            ),
             pltpu.VMEM((2, rows, 3 * c), jnp.int8),  # interleaved z1 planes
-            pltpu.SemaphoreType.DMA((2, 4)),
+            pltpu.SemaphoreType.DMA((2, 2) if pair_dma else (2, 4)),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),

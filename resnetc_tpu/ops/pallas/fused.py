@@ -44,6 +44,14 @@ RUN_FUSE_STAGES: tuple = (0,)
 #: this landed) — flip after VERIFY_TPU + the A/B measure.
 STAGE_FUSE_PROJ: bool = False
 
+#: Gather the ds megakernels' stride-2 input as two ph-pair DMAs (coarse
+#: 15-32 KB contiguous runs) instead of four fine-grained phase planes
+#: (cin-byte runs), splitting pw in-kernel via 128-aligned lane slices.
+#: A/B flag, default off until the on-chip battery measures it
+#: (tools/probe_ds_dma.py isolates the gather cost; interpret bit-match in
+#: tests/test_pallas.py).
+DS_PAIR_DMA: bool = False
+
 #: Stages (0-based) whose consecutive stride-1 BASIC blocks fuse into ONE
 #: basic_run_chained_int8 kernel (ResNet-18/34).  Mirrors RUN_FUSE_STAGES;
 #: per-stage sweep TBD on chip (layer1 is the DMA-heaviest, same as the
@@ -713,6 +721,7 @@ def fused_forward_int8_chain(
                     blk["wdq"], blk["swd"], blk["bd"],
                     scale_row(stage, 0),
                     h=h, w_sp=w_sp, emit_i8=not last0,
+                    pair_dma=DS_PAIR_DMA,
                     interpret=interpret,
                 )
                 h, w_sp = (h + 1) // 2, (w_sp + 1) // 2

@@ -701,6 +701,41 @@ def test_downsample_block_s2_int8_matches_quant_reference(rng):
     )
 
 
+@pytest.mark.parametrize("h", [56, 16])
+def test_downsample_pair_dma_bitmatch(rng, h):
+    """pair_dma=True (two coarse ph-pair DMAs + 128-aligned in-kernel pw
+    splits) must bit-match the production 4-plane gather on both the direct
+    (h=56) and generic (h=16) geometries — same dots, same epilogue order."""
+    from resnetc_tpu.ops.pallas.block import (
+        chain_meta,
+        downsample_block_s2_int8,
+        quantize_ds_block,
+    )
+
+    b, cin, c = 2, 256, 128
+    c4 = 4 * c
+    g = lambda *s: jnp.asarray(rng.standard_normal(s, dtype=np.float32) * 0.1)
+    q = quantize_ds_block({
+        "conv1": {"weight": g(cin, c), "bias": g(c)},
+        "conv2": {"weight": g(3, 3, c, c), "bias": g(c)},
+        "conv3": {"weight": g(c, c4), "bias": g(c4)},
+        "downsample": {"weight": g(cin, c4), "bias": g(c4)},
+    })
+    scales = jnp.asarray([0.03, 0.02, 0.03, 0.02], jnp.float32)
+    hp, wp = chain_meta(0, h, h)
+    xr = jnp.asarray(
+        rng.integers(-127, 128, (b * hp * wp, cin)), jnp.int8
+    )
+    args = (
+        xr, q["w1q"], q["sw1"], q["b1"], q["w2q"], q["sw2"], q["b2"],
+        q["w3q"], q["sw3"], q["b3"], q["wdq"], q["swd"], q["bd"], scales,
+    )
+    kw = dict(h=h, w_sp=h, emit_i8=True, interpret=True)
+    base = downsample_block_s2_int8(*args, pair_dma=False, **kw)
+    pair = downsample_block_s2_int8(*args, pair_dma=True, **kw)
+    assert jnp.array_equal(base, pair), "pair_dma output diverged"
+
+
 def test_chained_int8_projection_shortcut(rng):
     """wdq/swd/bd turn the identity residual into the stride-1 projection
     block (layer1 block 0): kernel == quantized reference with cin != 4c."""
