@@ -1187,6 +1187,393 @@ def quantize_basic_block(blk: dict) -> dict:
 
 
 # ---------------------------------------------------------------------------
+# Stride-2 BASIC transition megakernel (int8): the whole ResNet-18/34 stage
+# transition (conv3x3/2 + conv3x3 + 1x1/2 projection shortcut) as ONE
+# kernel, chain layout to chain layout.  Reference capability: the stride-2
+# branch of ResnetBlock at expansion 1 (main.cu:18-46, 71-76).
+#
+# Structure (every piece is a chip-proven pattern from the bottleneck ds /
+# basic s1 kernels):
+#   - input gather: TWO ph-pair strided DMAs (the pair_dma pattern — coarse
+#     wq*2*cin-byte runs; the pw pair stays interleaved in lanes),
+#   - conv1 (3x3 s2): three tap dots over a [pair | pair-shifted-one-row]
+#     slot scratch (K = 4*cin, every slot boundary 2*cin-aligned so cin=64
+#     works too); tap weights zero the unused pw half, so the only padding
+#     tax is conv1's v=2 tap (+1/3 of conv1's FLOPs),
+#   - z1 is scattered per image into a chain-layout VMEM scratch (compact
+#     conv row u -> chain row u + wp2 + 1 — the ds conv3 store mapping),
+#   - conv2 (3x3 s1): the basic kernel's masked kw-interleave + kh-batched
+#     single dot on the OUTPUT geometry,
+#   - shortcut: per-image dots of the raw ph=1 pair against [0; wd] (the
+#     zero top half kills the pw=0 lanes - plane (1,1) is x[2r, 2c]).
+# ---------------------------------------------------------------------------
+
+
+def _basic_ds_kernel_int8(
+    x6_ref, m8_ref, w1p_ref, c1_ref, w2p_ref, c2_ref, wdp_ref, cd_ref,
+    mask2_ref, a1_ref, a2_ref, ad_ref,
+    o_ref, pl_ref, xw_ref, z1r_ref, il_ref, dma_sems,
+    *, bt, hq, wq, hp2, wp2, c, cin, slot2, emit_i8,
+):
+    """See the section comment.  m8_ref (2, rows_q, 2*cin) int8 0/1 masks
+    the chain-ring garbage out of x before any 3x3 tap reads it (per
+    (ph, row, pw-half) — the pw halves differ at the W edges); mask2_ref
+    (rows2, 1) f32 is the interior mask of the OUTPUT geometry for conv2's
+    interleave.  Scales are host-folded: a1 := sw1*s_x/s_z1 (joint
+    per-output-channel over all nine taps — the tap dots accumulate in
+    int32 before one dequant), c1 := b1/s_z1, a2 := sw2p*s_z1/s_y per
+    (kh, j), c2 := b2/s_y, ad := swd*s_x/s_y, cd := bd/s_y.
+    """
+    rows_q = bt * hq * wq
+    rows2 = bt * hp2 * wp2
+    i = pl.program_id(0)
+
+    def pair_dma(step, buf, p):
+        return pltpu.make_async_copy(
+            x6_ref.at[pl.ds(step * bt, bt), :, p],
+            pl_ref.at[buf, p],
+            dma_sems.at[buf, p],
+        )
+
+    @pl.when(i == 0)
+    def _():
+        for p in range(2):
+            pair_dma(0, 0, p).start()
+
+    @pl.when(i + 1 < pl.num_programs(0))
+    def _():
+        for p in range(2):
+            pair_dma(i + 1, (i + 1) % 2, p).start()
+
+    cur = i % 2
+    for p in range(2):
+        pair_dma(i, cur, p).wait()
+
+    # --- tap scratch: [masked pair | masked pair shifted up one flat row].
+    # The shift crosses (bt, hq) boundaries only into rows whose outputs
+    # land on the chain ring (garbage-allowed) — same argument as the ds
+    # kernel's conv2.
+    for ph in range(2):
+        xm = pl_ref[cur, ph].reshape(rows_q, 2 * cin) * m8_ref[ph]
+        xw_ref[ph, :, 0 : 2 * cin] = xm
+        xw_ref[ph, 0 : rows_q - 1, 2 * cin : 4 * cin] = (
+            jax.lax.slice_in_dim(xm, 1, rows_q, axis=0)
+        )
+
+    # --- conv1 (3x3 stride 2): three tap dots, int32 accumulation, ONE
+    # dequant (joint per-channel scales).  Tap u reads ph = u%2 at row
+    # offset (u//2)*wq — the ds kernel's conv2 mapping.
+    M = rows_q - wq - 1
+    n_u = hq * wq - wq - 1
+    acc = None
+    for u in range(3):
+        off = (u // 2) * wq
+        contrib = jax.lax.dot_general(
+            xw_ref[u % 2, off : off + M, :], w1p_ref[u],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        acc = contrib if acc is None else acc + contrib
+    z1 = jnp.maximum(
+        acc.astype(jnp.float32) * a1_ref[:].astype(jnp.float32)
+        + c1_ref[:].astype(jnp.float32),
+        0.0,
+    )
+    z1 = jnp.minimum(jnp.round(z1), 127.0).astype(jnp.int8)  # post-relu
+
+    # --- scatter z1 into the OUTPUT-geometry chain scratch (compact row u
+    # -> chain row u + wp2 + 1 per image; ring rows inside the span get
+    # garbage and are masked out by mask2 on the way into the interleave).
+    for k in range(bt):
+        z1r_ref[
+            k * hp2 * wp2 + wp2 + 1 : k * hp2 * wp2 + wp2 + 1 + n_u, :
+        ] = jax.lax.slice(z1, (k * hq * wq, 0), (k * hq * wq + n_u, c))
+
+    # --- conv2 (3x3 s1) on the output geometry: masked interleave + one
+    # kh-batched dot (the basic s1 kernel's structure).
+    z1m = jnp.where(mask2_ref[:] > 0.0, z1r_ref[:], jnp.int8(0))
+    _interleave_kw(il_ref, z1m, rows=rows2, wp=wp2, slot=slot2, width=c)
+    P = jax.lax.dot_general(
+        il_ref[:], w2p_ref[:],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    y_all = (
+        jax.lax.slice(P, (0, 0), (rows2, c)).astype(jnp.float32)
+        * a2_ref[0:1, :].astype(jnp.float32)
+        + jax.lax.slice(P, (wp2, c), (wp2 + rows2, 2 * c)).astype(jnp.float32)
+        * a2_ref[1:2, :].astype(jnp.float32)
+        + jax.lax.slice(P, (2 * wp2, 2 * c), (2 * wp2 + rows2, 3 * c)).astype(
+            jnp.float32
+        )
+        * a2_ref[2:3, :].astype(jnp.float32)
+        + c2_ref[:].astype(jnp.float32)
+    )
+
+    # --- projection shortcut (1x1 stride 2) + ReLU + store, per image.
+    # Plane (1,1) = x[2r, 2c] is the pw=1 half of the ph=1 pair; wdp's zero
+    # top half kills the pw=0 lanes so the operand needs no lane slicing.
+    pl11 = pl_ref[cur, 1].reshape(rows_q, 2 * cin)
+    for k in range(bt):
+        base = k * hq * wq
+        obase = k * hp2 * wp2 + wp2 + 1
+        chunk = n_u
+        while chunk > 1024 and chunk % 2 == 0:
+            chunk //= 2
+        for lo in range(0, n_u, chunk):
+            n = min(chunk, n_u - lo)
+            sc = jax.lax.dot_general(
+                jax.lax.slice_in_dim(pl11, base + lo, base + lo + n, axis=0),
+                wdp_ref[:],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )
+            y = (
+                jax.lax.slice_in_dim(y_all, obase + lo, obase + lo + n, axis=0)
+                + sc.astype(jnp.float32) * ad_ref[:].astype(jnp.float32)
+                + cd_ref[:].astype(jnp.float32)
+            )
+            y = jnp.maximum(y, 0.0)
+            if emit_i8:
+                o_ref[obase + lo : obase + lo + n, :] = jnp.minimum(
+                    jnp.round(y), 127.0
+                ).astype(jnp.int8)  # post-relu: no lower clip
+            else:
+                o_ref[obase + lo : obase + lo + n, :] = y.astype(o_ref.dtype)
+
+
+def _pick_bt_basic_ds(
+    b: int, hq: int, wq: int, hp2: int, wp2: int, cin: int, c: int
+) -> int:
+    """Largest divisor of B whose basic-ds working set fits the VMEM budget
+    (measured table TBD on chip; the walk mirrors the other pickers)."""
+    budget = 40 * 2**20
+    slot2 = _round_up(c, 128)
+    weights = 3 * 4 * cin * c + 3 * slot2 * 3 * c + 2 * cin * c
+
+    def work(bt: int) -> int:
+        rows_q = bt * hq * wq
+        rows2 = bt * hp2 * wp2
+        return (
+            2 * 2 * rows_q * 2 * cin      # pair planes (dbl-buffered)
+            + 2 * rows_q * 4 * cin        # tap scratch
+            + 2 * rows_q * 2 * cin        # m8 masks
+            + rows_q * c * 4              # conv1 int32 acc
+            + rows2 * c                   # z1 chain scratch
+            + (rows2 + 2 * wp2) * 3 * slot2          # interleave
+            + (rows2 + 2 * wp2) * 3 * c * 4          # conv2 P (int32)
+            + rows2 * c * 4               # y_all fp32
+            + 2 * rows2 * c               # out block (dbl-buffered)
+            + weights
+        )
+
+    best = 0
+    for bt in range(1, b + 1):
+        if b % bt:
+            continue
+        if work(bt) > budget:
+            break
+        best = bt
+    return best
+
+
+@functools.partial(
+    jax.jit, static_argnames=("h", "w_sp", "emit_i8", "bt", "interpret")
+)
+def basic_ds_block_s2_int8(
+    xr: jax.Array,
+    w1pq: jax.Array, sw1: jax.Array, b1: jax.Array,
+    w2pq: jax.Array, sw2p: jax.Array, b2: jax.Array,
+    wdq: jax.Array, swd: jax.Array, bd: jax.Array,
+    scales: jax.Array,
+    *,
+    h: int, w_sp: int,
+    emit_i8: bool = True,
+    bt: int | None = None,
+    interpret: bool = False,
+) -> jax.Array:
+    """Whole stride-2 BasicBlock (ResNet-18/34 stage transition), one
+    kernel, chain to chain.
+
+    xr: (B*Hp*Wp, cin) int8 chain rows of the (h, w_sp) input stage at
+    scale scales[0].  Weights per quantize_basic_ds_block: w1pq
+    (3, 4*cin, c) the pair-slot packed 3x3/2 with joint per-channel scales
+    sw1 (c,); w2pq (3*cin_w?, 3c) the kh-batched 3x3 (quantize_basic_block
+    conv2 format, cin_w == c); wdq (cin, c) the 1x1/2 projection.  Output:
+    (B*Hp2*Wp2, c) chain rows of the (h/2, w_sp/2) stage, int8 at
+    scales[2] when emit_i8 else bf16.  scales = [s_x, s_z1, s_y].
+    Reference capability: ResnetBlock stride-2 at expansion 1
+    (main.cu:18-46) — torchvision BasicBlock downsample semantics.
+    """
+    hp, wp = chain_meta(0, h, w_sp)
+    total_rows, cin = xr.shape
+    b = total_rows // (hp * wp)
+    assert b * hp * wp == total_rows, (xr.shape, (hp, wp))
+    c = sw1.shape[-1]
+    oh, ow = (h + 1) // 2, (w_sp + 1) // 2
+    hp2, wp2 = chain_meta(0, oh, ow)
+    hq, wq = hp // 2, wp // 2
+    direct = hp % 2 == 0 and wp % 2 == 0 and wq == wp2 and hp2 >= hq + 1
+    if direct:
+        x6 = xr.reshape(b, hq, 2, wq, 2 * cin)
+    else:
+        # Generic geometry: rebuild an equal-geometry padded buffer
+        # (hq, wq) == (hp2, wp2), same as downsample_block_s2_int8.
+        hq, wq = hp2, wp2
+        x = xr.reshape(b, hp, wp, cin)[:, 1 : 1 + h, 1 : 1 + w_sp, :]
+        x_pad = jnp.pad(
+            x, ((0, 0), (1, 2 * hq - 1 - h), (1, 2 * wq - 1 - w_sp), (0, 0))
+        )
+        x6 = x_pad.reshape(b, hq, 2, wq, 2 * cin)
+    bt = bt or _pick_bt_basic_ds(b, hq, wq, hp2, wp2, cin, c)
+    assert bt > 0, "basic-ds block does not fit VMEM at bt=1"
+    rows_q = bt * hq * wq
+    rows2 = bt * hp2 * wp2
+    slot2 = _round_up(c, 128)
+
+    # Pair masks (ph, row, pw-half): plane position (i, j) of plane
+    # (ph, pw) is a real x pixel iff 0 <= 2i+ph-1 < h and 0 <= 2j+pw-1 < w.
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (hq * wq, 1), 0)
+    ii, jj = row_ids // wq, row_ids % wq
+    m8 = jnp.stack(
+        [
+            jnp.concatenate(
+                [
+                    jnp.tile(
+                        (
+                            (2 * ii + ph - 1 >= 0) & (2 * ii + ph - 1 < h)
+                            & (2 * jj + pw - 1 >= 0)
+                            & (2 * jj + pw - 1 < w_sp)
+                        ).astype(jnp.int8),
+                        (1, cin),
+                    )
+                    for pw in range(2)
+                ],
+                axis=1,
+            )
+            for ph in range(2)
+        ]
+    )
+    m8 = jnp.tile(m8, (1, bt, 1))
+
+    # Output-geometry interior mask for conv2's interleave.
+    row2_ids = jax.lax.broadcasted_iota(jnp.int32, (hp2 * wp2, 1), 0)
+    r2, cc2 = row2_ids // wp2, row2_ids % wp2
+    mask2 = (
+        (r2 >= 1) & (r2 <= oh) & (cc2 >= 1) & (cc2 <= ow)
+    ).astype(jnp.float32)
+    mask2_t = jnp.tile(mask2, (bt, 1))
+
+    def pad_slots(wq_p):
+        if slot2 == c:
+            return wq_p
+        return jnp.pad(
+            wq_p.reshape(3, c, 3 * c), ((0, 0), (0, slot2 - c), (0, 0))
+        ).reshape(3 * slot2, 3 * c)
+
+    # Host-side scale folding (kernel docstring).  bf16 exit: s_y = 1.
+    s_x, s_z1 = scales[0], scales[1]
+    s_y = scales[2] if emit_i8 else jnp.float32(1.0)
+    a1 = (sw1.astype(jnp.float32) * (s_x / s_z1))[None, :]
+    c1 = (b1.astype(jnp.float32) * (1.0 / s_z1))[None, :]
+    a2 = (sw2p.astype(jnp.float32) * (s_z1 / s_y)).reshape(3, c)
+    c2 = (b2.astype(jnp.float32) * (1.0 / s_y))[None, :]
+    ad = (swd.astype(jnp.float32) * (s_x / s_y))[None, :]
+    cd = (bd.astype(jnp.float32) * (1.0 / s_y))[None, :]
+    # Pair-wide shortcut weights: zero pw=0 half (plane (1,1) selection).
+    wdp = jnp.concatenate([jnp.zeros_like(wdq), wdq], axis=0)
+
+    out_dtype = jnp.int8 if emit_i8 else jnp.bfloat16
+    return pl.pallas_call(
+        functools.partial(
+            _basic_ds_kernel_int8,
+            bt=bt, hq=hq, wq=wq, hp2=hp2, wp2=wp2, c=c, cin=cin,
+            slot2=slot2, emit_i8=emit_i8,
+        ),
+        grid=(b // bt,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),  # x6: kernel DMAs pairs
+            pl.BlockSpec((2, rows_q, 2 * cin), lambda i: (0, 0, 0)),
+            pl.BlockSpec((3, 4 * cin, c), lambda i: (0, 0, 0)),
+            pl.BlockSpec((1, c), lambda i: (0, 0)),
+            pl.BlockSpec((3 * slot2, 3 * c), lambda i: (0, 0)),
+            pl.BlockSpec((1, c), lambda i: (0, 0)),
+            pl.BlockSpec((2 * cin, c), lambda i: (0, 0)),
+            pl.BlockSpec((1, c), lambda i: (0, 0)),
+            pl.BlockSpec((rows2, 1), lambda i: (0, 0)),
+            pl.BlockSpec((1, c), lambda i: (0, 0)),
+            pl.BlockSpec((3, c), lambda i: (0, 0)),
+            pl.BlockSpec((1, c), lambda i: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((rows2, c), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((b * hp2 * wp2, c), out_dtype),
+        scratch_shapes=[
+            pltpu.VMEM((2, 2, bt, hq, wq, 2 * cin), jnp.int8),
+            pltpu.VMEM((2, rows_q, 4 * cin), jnp.int8),  # tap scratch
+            pltpu.VMEM((rows2, c), jnp.int8),            # z1 chain scratch
+            pltpu.VMEM((rows2 + 2 * wp2, 3 * slot2), jnp.int8),
+            pltpu.SemaphoreType.DMA((2, 2)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=100 * 2**20,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * hq * wq * (9 * cin * c + 9 * c * c + cin * c),
+            bytes_accessed=b * hq * wq * 4 * cin + b * hp2 * wp2 * c,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(
+        x6, m8, w1pq, c1, pad_slots(w2pq), c2, wdp, cd, mask2_t,
+        a1, a2, ad,
+    )
+
+
+def quantize_basic_ds_block(blk: dict) -> dict:
+    """Quantize one BN-folded stride-2 BasicBlock for the basic-ds
+    megakernel: conv1 (3x3/2) pair-slot packed (3, 4*cin, c) with JOINT
+    per-output-channel scales (the tap dots accumulate in int32 before one
+    dequant); conv2 (3x3 s1) in the kh-batched quantize_basic_block
+    format; the 1x1/2 projection per-output-channel.  The folded fp
+    entries are kept alongside so the bf16 XLA transition branch (the
+    BASIC_DS_INT8=False path) still works from the same tree."""
+    from resnetc_tpu.ops.pallas.quant import quantize_per_channel
+
+    w1 = blk["conv1"]["weight"]  # (3, 3, cin, c)
+    _, _, cin, c = w1.shape
+    w1q, sw1 = quantize_per_channel(w1.reshape(9 * cin, c))
+    w1q = w1q.reshape(3, 3, cin, c)
+    w1p = jnp.concatenate(
+        [
+            jnp.concatenate([w1q[u, 0], w1q[u, 1]], axis=0)[None]
+            for u in range(3)
+        ]
+    )  # (3, 2*cin, c): [pw0 <- v=0 | pw1 <- v=1]
+    shift_slot = jnp.concatenate(
+        [w1q[:, 2], jnp.zeros((3, cin, c), w1q.dtype)], axis=1
+    )  # (3, 2*cin, c): [pw0 <- v=2 | pw1 <- 0]
+    w1pq = jnp.concatenate([w1p, shift_slot], axis=1)  # (3, 4*cin, c)
+
+    w2 = blk["conv2"]["weight"]
+    w2pk = jnp.transpose(w2, (1, 2, 0, 3)).reshape(3 * c, 3 * c)
+    w2pq, sw2p = quantize_per_channel(w2pk)
+
+    wd = blk["downsample"]["weight"]
+    if wd.ndim == 4:
+        wd = wd[0, 0]
+    wdq, swd = quantize_per_channel(wd)
+
+    out = {
+        "w1pq": w1pq, "sw1": sw1, "b1": blk["conv1"]["bias"],
+        "w2pq": w2pq, "sw2p": sw2p, "b2": blk["conv2"]["bias"],
+        "wdq": wdq, "swd": swd, "bd": blk["downsample"]["bias"],
+    }
+    out.update({k: blk[k] for k in ("conv1", "conv2", "downsample")})
+    return out
+
+
+# ---------------------------------------------------------------------------
 # Stage-run megakernel (int8): a RUN of same-shape identity bottleneck
 # blocks in ONE kernel.  The per-block chain kernels are auto-DMA-bandwidth
 # bound (~340 GB/s effective through the blocked pipeline), so every block

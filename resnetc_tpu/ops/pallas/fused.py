@@ -52,6 +52,14 @@ STAGE_FUSE_PROJ: bool = False
 #: tests/test_pallas.py).
 DS_PAIR_DMA: bool = False
 
+#: Serve the ResNet-18/34 stride-2 stage transitions with the int8
+#: basic-ds megakernel (ONE kernel per transition: pair-gathered 3x3/2 tap
+#: dots + chain-scatter + kh-batched 3x3 + pair-wide projection shortcut)
+#: instead of the bf16 XLA fallback (dequant -> 3 XLA convs -> requant ->
+#: repad).  Default off until the on-chip battery validates the Mosaic
+#: path (interpret bit-parity is test-pinned).
+BASIC_DS_INT8: bool = False
+
 #: Stages (0-based) whose consecutive stride-1 BASIC blocks fuse into ONE
 #: basic_run_chained_int8 kernel (ResNet-18/34).  Mirrors RUN_FUSE_STAGES;
 #: per-stage sweep TBD on chip (layer1 is the DMA-heaviest, same as the
@@ -424,10 +432,18 @@ def quantize_chain(cfg: ResNetConfig, folded: Pytree) -> Pytree:
         for b_str, blk in blocks.items():
             if cfg.block != "bottleneck":
                 # Basic blocks: stride-1 blocks quantize for the basic chain
-                # kernel; the stride-2 stage-transition blocks keep their
-                # folded fp entries (served bf16 by XLA between chains).
+                # kernel; the stride-2 stage-transition blocks quantize for
+                # the basic-ds megakernel AND keep their folded fp entries
+                # (the BASIC_DS_INT8=False path serves them bf16 via XLA).
                 if b_str == "0" and stage_stride == 2:
-                    qblocks[b_str] = blk
+                    if "downsample" in blk:
+                        from resnetc_tpu.ops.pallas.block import (
+                            quantize_basic_ds_block,
+                        )
+
+                        qblocks[b_str] = quantize_basic_ds_block(blk)
+                    else:
+                        qblocks[b_str] = blk
                 else:
                     from resnetc_tpu.ops.pallas.block import (
                         quantize_basic_block,
@@ -517,6 +533,47 @@ def _basic_int8_chain_forward(
         nb = cfg.stage_blocks[stage]
         start = 0
         if stage > 0:
+            blk = blocks["0"]
+            use_ds = BASIC_DS_INT8 and "w1pq" in blk and "wdq" in blk
+            if use_ds:
+                # VMEM-fit guard (mirrors the run-fusion guard): degrade to
+                # the XLA branch rather than assert inside the kernel.
+                from resnetc_tpu.ops.pallas.block import (
+                    _pick_bt_basic_ds, basic_ds_block_s2_int8, chain_meta,
+                )
+
+                hp, wp = chain_meta(0, h, w_sp)
+                oh, ow = (h + 1) // 2, (w_sp + 1) // 2
+                hp2, wp2 = chain_meta(0, oh, ow)
+                hq_, wq_ = (
+                    (hp // 2, wp // 2)
+                    if hp % 2 == 0 and wp % 2 == 0 and wp // 2 == wp2
+                    and hp2 >= hp // 2 + 1
+                    else (hp2, wp2)
+                )
+                c_out = blk["sw1"].shape[-1]
+                use_ds = _pick_bt_basic_ds(
+                    yr.shape[0] // (hp * wp), hq_, wq_, hp2, wp2,
+                    yr.shape[1], c_out,
+                ) > 0
+            if use_ds:
+                # Stride-2 transition as ONE int8 megakernel, chain to
+                # chain — no dequant/requant/pad glue.
+                last0 = s_after(stage, 0) is None
+                yr = basic_ds_block_s2_int8(
+                    yr,
+                    blk["w1pq"], blk["sw1"], blk["b1"],
+                    blk["w2pq"], blk["sw2p"], blk["b2"],
+                    blk["wdq"], blk["swd"], blk["bd"],
+                    scale_row(stage, 0),
+                    h=h, w_sp=w_sp, emit_i8=not last0, interpret=interpret,
+                )
+                h, w_sp = (h + 1) // 2, (w_sp + 1) // 2
+                start = 1
+                yr_transitioned = True
+            else:
+                yr_transitioned = False
+        if stage > 0 and not yr_transitioned:
             # Stride-2 transition block, bf16 XLA: dequantize the chain
             # buffer, run the fp block, requantize at the next block's "in".
             blk = blocks["0"]

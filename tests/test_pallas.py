@@ -1088,6 +1088,123 @@ def test_basic_block_chained_int8_matches_quant_reference(rng):
     np.testing.assert_allclose(got, ref, rtol=0, atol=1e-5)
 
 
+@pytest.mark.parametrize("h", [10, 7])
+def test_basic_ds_block_s2_int8_matches_quant_reference(rng, h):
+    """The stride-2 basic-ds megakernel (3x3/2 pair-tap dots + kh-batched
+    3x3 + 1x1/2 projection, ONE kernel) == an explicit int8 quantized
+    reference with identical rounding, on the direct (h=10) and generic
+    (h=7) geometries."""
+    from resnetc_tpu.ops.pallas.block import (
+        basic_ds_block_s2_int8,
+        pad_for_chain,
+        quantize_basic_ds_block,
+        unpad_from_chain,
+    )
+    from resnetc_tpu.ops.pallas.quant import quantize_with_scale
+
+    b, cin, c = 2, 16, 32
+    oh = (h + 1) // 2
+    x = jnp.asarray(rng.standard_normal((b, h, h, cin), dtype=np.float32))
+    g = lambda *s: jnp.asarray(rng.standard_normal(s, dtype=np.float32) * 0.1)
+    blk = {
+        "conv1": {"weight": g(3, 3, cin, c), "bias": g(c)},
+        "conv2": {"weight": g(3, 3, c, c), "bias": g(c)},
+        "downsample": {"weight": g(cin, c), "bias": g(c)},
+    }
+    q = quantize_basic_ds_block(blk)
+    s_x, s_z1, s_y = 4.0 / 127, 3.0 / 127, 5.0 / 127
+    scales = jnp.asarray([s_x, s_z1, s_y], jnp.float32)
+
+    got_r = basic_ds_block_s2_int8(
+        pad_for_chain(quantize_with_scale(x, jnp.float32(s_x))),
+        q["w1pq"], q["sw1"], q["b1"],
+        q["w2pq"], q["sw2p"], q["b2"],
+        q["wdq"], q["swd"], q["bd"],
+        scales, h=h, w_sp=h, emit_i8=True, interpret=True,
+    )
+    got = np.asarray(unpad_from_chain(got_r, b, oh, oh), np.float32) * s_y
+
+    def quant(v, s):
+        return jnp.clip(jnp.round(v * (1.0 / s)), -127.0, 127.0)
+
+    xq = quant(x, s_x)
+    # conv1 (3x3 s2): JOINT per-channel scales — one fp conv on the
+    # reassembled int8 taps emulates the int32 tap accumulation exactly.
+    w1q = jnp.stack(
+        [
+            jnp.stack([q["w1pq"][u, v * cin : (v + 1) * cin] for v in range(3)])
+            for u in range(3)
+        ]
+    ).astype(jnp.float32)  # (kh, kw, cin, c); slot order [v0|v1|v2(shift)]
+    p1 = lax_ops.conv2d(xq.astype(jnp.float32), w1q, stride=2, padding=1)
+    z1 = jnp.maximum(
+        p1 * q["sw1"].astype(jnp.float32) * (s_x / s_z1)
+        + blk["conv1"]["bias"] / s_z1,
+        0.0,
+    )
+    z1q = jnp.minimum(jnp.round(z1), 127.0)
+
+    # conv2 (3x3 s1): per-(kh, j) scales — kh rows dequantized apart.
+    w2q = q["w2pq"].astype(jnp.float32).reshape(3, c, 3, c)
+    w2 = jnp.transpose(w2q, (2, 0, 1, 3))
+    p2 = sum(
+        lax_ops.conv2d(
+            z1q, jnp.where((jnp.arange(3) == kh)[:, None, None, None], w2, 0.0),
+            stride=1, padding=1,
+        )
+        * q["sw2p"].astype(jnp.float32).reshape(3, c)[kh] * (s_z1 / s_y)
+        for kh in range(3)
+    )
+    sc = jnp.einsum(
+        "bhwi,io->bhwo", xq[:, ::2, ::2, :], q["wdq"].astype(jnp.float32)
+    )
+    y = jnp.maximum(
+        p2 + blk["conv2"]["bias"] / s_y
+        + sc * q["swd"].astype(jnp.float32) * (s_x / s_y)
+        + blk["downsample"]["bias"] / s_y,
+        0.0,
+    )
+    ref = np.asarray(jnp.minimum(jnp.round(y), 127.0), np.float32) * s_y
+
+    np.testing.assert_allclose(got, ref, rtol=0, atol=1e-5)
+
+
+def test_int8_chain_basic_ds_branch(rng, monkeypatch):
+    """BASIC_DS_INT8=True must (a) actually route every stage transition
+    through basic_ds_block_s2_int8 and (b) stay close to the fp reference
+    e2e (the transition swaps bf16 XLA math for int8 — bit-equality with
+    the flag-off path is not expected)."""
+    from resnetc_tpu.models import resnet
+    from resnetc_tpu.ops.pallas import block as block_mod
+    from resnetc_tpu.ops.pallas import fused as fused_mod
+
+    cfg = resnet.get_config("resnet18", num_classes=13)
+    variables = resnet.init(cfg, jax.random.key(3))
+    folded = resnet.fold_inference_params(cfg, variables)
+    x = jnp.asarray(rng.standard_normal((2, 64, 64, 3), dtype=np.float32))
+    scales = fused_mod.calibrate_chain_scales(cfg, folded, x)
+    qtree = fused_mod.quantize_chain(cfg, folded)
+    ref = np.asarray(resnet.forward_folded(cfg, folded, x), np.float32)
+
+    calls = []
+    real = block_mod.basic_ds_block_s2_int8
+
+    def spy(*args, **kwargs):
+        calls.append(1)
+        return real(*args, **kwargs)
+
+    monkeypatch.setattr(fused_mod, "BASIC_DS_INT8", True)
+    monkeypatch.setattr(block_mod, "basic_ds_block_s2_int8", spy)
+    got = np.asarray(
+        fused_mod.fused_forward_int8_chain(cfg, qtree, scales, x, interpret=True),
+        np.float32,
+    )
+    assert len(calls) == 3, f"expected 3 ds transitions, saw {len(calls)}"
+    rel = np.mean(np.abs(got - ref)) / (np.mean(np.abs(ref)) + 1e-9)
+    assert rel < 0.08, rel
+    assert (got.argmax(-1) == ref.argmax(-1)).mean() >= 0.9
+
+
 def test_fused_forward_int8_chain_basic_close_to_fp(rng):
     """The int8_chain backend covers the BASIC family (ResNet-18/34): every
     stride-1 block one megakernel, stage transitions bf16 XLA — logits stay
