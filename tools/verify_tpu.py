@@ -428,6 +428,72 @@ def _():
     return 0.0
 
 
+@check("int8_chain ds pair_dma gather bit-matches the 4-plane gather", 0.0)
+def _():
+    from resnetc_tpu.ops.pallas import fused
+    from resnetc_tpu.tensor import BF16
+
+    cfg, _, folded, x, ref = _fixture()
+    scales = fused.calibrate_chain_scales(cfg, folded, x)
+    qtree = fused.quantize_chain(cfg, folded)
+
+    def run():
+        return np.asarray(
+            jax.jit(
+                lambda f, s, xx: fused.fused_forward_int8_chain(
+                    cfg, f, s, xx, policy=BF16
+                )
+            )(qtree, scales, x),
+            np.float32,
+        )
+
+    old = fused.DS_PAIR_DMA
+    try:
+        fused.DS_PAIR_DMA = True
+        got = run()
+        fused.DS_PAIR_DMA = False
+        want = run()
+    finally:
+        fused.DS_PAIR_DMA = old
+    assert (got == want).all(), "pair_dma ds kernel diverges from 4-plane"
+    return 0.0
+
+
+@check("int8_chain basic-ds transitions (resnet18) vs XLA logits", 0.35)
+def _():
+    from resnetc_tpu.models import resnet
+    from resnetc_tpu.ops.pallas import fused
+    from resnetc_tpu.tensor import BF16
+
+    rng = _rng()
+    cfg = resnet.get_config("resnet18", num_classes=64)
+    variables = resnet.init(cfg, jax.random.key(19))
+    folded = resnet.fold_inference_params(cfg, variables)
+    x = jnp.asarray(rng.standard_normal((4, 64, 64, 3), dtype=np.float32))
+    ref = np.asarray(
+        jax.jit(lambda f, xx: resnet.forward_folded(cfg, f, xx))(folded, x),
+        np.float32,
+    )
+    scales = fused.calibrate_chain_scales(cfg, folded, x)
+    qtree = fused.quantize_chain(cfg, folded)
+    old = fused.BASIC_DS_INT8
+    try:
+        fused.BASIC_DS_INT8 = True
+        got = np.asarray(
+            jax.jit(
+                lambda f, s, xx: fused.fused_forward_int8_chain(
+                    cfg, f, s, xx, policy=BF16
+                )
+            )(qtree, scales, x),
+            np.float32,
+        )
+    finally:
+        fused.BASIC_DS_INT8 = old
+    match = float((got.argmax(-1) == ref.argmax(-1)).mean())
+    assert match >= 0.75, f"basic-ds int8_chain argmax agreement {match} < 0.75"
+    return rel_mae(got, ref)
+
+
 @check("int8_chain basic family (resnet18) vs XLA logits", 0.35)
 def _():
     from resnetc_tpu.models import resnet
