@@ -1088,12 +1088,12 @@ def test_basic_block_chained_int8_matches_quant_reference(rng):
     np.testing.assert_allclose(got, ref, rtol=0, atol=1e-5)
 
 
-@pytest.mark.parametrize("h", [10, 7])
-def test_basic_ds_block_s2_int8_matches_quant_reference(rng, h):
+@pytest.mark.parametrize("h,w", [(10, 10), (7, 7), (10, 14)])
+def test_basic_ds_block_s2_int8_matches_quant_reference(rng, h, w):
     """The stride-2 basic-ds megakernel (3x3/2 pair-tap dots + kh-batched
     3x3 + 1x1/2 projection, ONE kernel) == an explicit int8 quantized
-    reference with identical rounding, on the direct (h=10) and generic
-    (h=7) geometries."""
+    reference with identical rounding, on the direct (10x10), generic
+    (7x7), and non-square (10x14) geometries."""
     from resnetc_tpu.ops.pallas.block import (
         basic_ds_block_s2_int8,
         pad_for_chain,
@@ -1103,8 +1103,8 @@ def test_basic_ds_block_s2_int8_matches_quant_reference(rng, h):
     from resnetc_tpu.ops.pallas.quant import quantize_with_scale
 
     b, cin, c = 2, 16, 32
-    oh = (h + 1) // 2
-    x = jnp.asarray(rng.standard_normal((b, h, h, cin), dtype=np.float32))
+    oh, ow = (h + 1) // 2, (w + 1) // 2
+    x = jnp.asarray(rng.standard_normal((b, h, w, cin), dtype=np.float32))
     g = lambda *s: jnp.asarray(rng.standard_normal(s, dtype=np.float32) * 0.1)
     blk = {
         "conv1": {"weight": g(3, 3, cin, c), "bias": g(c)},
@@ -1120,9 +1120,9 @@ def test_basic_ds_block_s2_int8_matches_quant_reference(rng, h):
         q["w1pq"], q["sw1"], q["b1"],
         q["w2pq"], q["sw2p"], q["b2"],
         q["wdq"], q["swd"], q["bd"],
-        scales, h=h, w_sp=h, emit_i8=True, interpret=True,
+        scales, h=h, w_sp=w, emit_i8=True, interpret=True,
     )
-    got = np.asarray(unpad_from_chain(got_r, b, oh, oh), np.float32) * s_y
+    got = np.asarray(unpad_from_chain(got_r, b, oh, ow), np.float32) * s_y
 
     def quant(v, s):
         return jnp.clip(jnp.round(v * (1.0 / s)), -127.0, 127.0)
