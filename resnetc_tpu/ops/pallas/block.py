@@ -1209,6 +1209,22 @@ def quantize_basic_block(blk: dict) -> dict:
 # ---------------------------------------------------------------------------
 
 
+def basic_ds_geometry(
+    h: int, w_sp: int
+) -> tuple[int, int, int, int, bool]:
+    """(hq, wq, hp2, wp2, direct) for the basic-ds megakernel — the single
+    source of truth shared by basic_ds_block_s2_int8 and its VMEM-fit
+    guard in fused.py (same conditions as the bottleneck ds kernel)."""
+    hp, wp = chain_meta(0, h, w_sp)
+    oh, ow = (h + 1) // 2, (w_sp + 1) // 2
+    hp2, wp2 = chain_meta(0, oh, ow)
+    hq, wq = hp // 2, wp // 2
+    direct = hp % 2 == 0 and wp % 2 == 0 and wq == wp2 and hp2 >= hq + 1
+    if not direct:
+        hq, wq = hp2, wp2
+    return hq, wq, hp2, wp2, direct
+
+
 def _basic_ds_kernel_int8(
     x6_ref, m8_ref, w1p_ref, c1_ref, w2p_ref, c2_ref, wdp_ref, cd_ref,
     mask2_ref, a1_ref, a2_ref, ad_ref,
@@ -1254,7 +1270,13 @@ def _basic_ds_kernel_int8(
     # land on the chain ring (garbage-allowed) — same argument as the ds
     # kernel's conv2.
     for ph in range(2):
-        xm = pl_ref[cur, ph].reshape(rows_q, 2 * cin) * m8_ref[ph]
+        # where-select, not an int8 multiply — the codebase's proven Mosaic
+        # int8 masking idiom (see _basic_chained_kernel_int8).
+        xm = jnp.where(
+            m8_ref[ph] != 0,
+            pl_ref[cur, ph].reshape(rows_q, 2 * cin),
+            jnp.int8(0),
+        )
         xw_ref[ph, :, 0 : 2 * cin] = xm
         xw_ref[ph, 0 : rows_q - 1, 2 * cin : 4 * cin] = (
             jax.lax.slice_in_dim(xm, 1, rows_q, axis=0)
@@ -1411,15 +1433,12 @@ def basic_ds_block_s2_int8(
     assert b * hp * wp == total_rows, (xr.shape, (hp, wp))
     c = sw1.shape[-1]
     oh, ow = (h + 1) // 2, (w_sp + 1) // 2
-    hp2, wp2 = chain_meta(0, oh, ow)
-    hq, wq = hp // 2, wp // 2
-    direct = hp % 2 == 0 and wp % 2 == 0 and wq == wp2 and hp2 >= hq + 1
+    hq, wq, hp2, wp2, direct = basic_ds_geometry(h, w_sp)
     if direct:
         x6 = xr.reshape(b, hq, 2, wq, 2 * cin)
     else:
         # Generic geometry: rebuild an equal-geometry padded buffer
         # (hq, wq) == (hp2, wp2), same as downsample_block_s2_int8.
-        hq, wq = hp2, wp2
         x = xr.reshape(b, hp, wp, cin)[:, 1 : 1 + h, 1 : 1 + w_sp, :]
         x_pad = jnp.pad(
             x, ((0, 0), (1, 2 * hq - 1 - h), (1, 2 * wq - 1 - w_sp), (0, 0))

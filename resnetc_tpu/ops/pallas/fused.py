@@ -539,18 +539,12 @@ def _basic_int8_chain_forward(
                 # VMEM-fit guard (mirrors the run-fusion guard): degrade to
                 # the XLA branch rather than assert inside the kernel.
                 from resnetc_tpu.ops.pallas.block import (
-                    _pick_bt_basic_ds, basic_ds_block_s2_int8, chain_meta,
+                    _pick_bt_basic_ds, basic_ds_block_s2_int8,
+                    basic_ds_geometry, chain_meta,
                 )
 
                 hp, wp = chain_meta(0, h, w_sp)
-                oh, ow = (h + 1) // 2, (w_sp + 1) // 2
-                hp2, wp2 = chain_meta(0, oh, ow)
-                hq_, wq_ = (
-                    (hp // 2, wp // 2)
-                    if hp % 2 == 0 and wp % 2 == 0 and wp // 2 == wp2
-                    and hp2 >= hp // 2 + 1
-                    else (hp2, wp2)
-                )
+                hq_, wq_, hp2, wp2, _ = basic_ds_geometry(h, w_sp)
                 c_out = blk["sw1"].shape[-1]
                 use_ds = _pick_bt_basic_ds(
                     yr.shape[0] // (hp * wp), hq_, wq_, hp2, wp2,

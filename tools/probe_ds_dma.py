@@ -124,6 +124,20 @@ def main() -> None:
     args = ap.parse_args()
 
     rng = np.random.default_rng(0)
+    if args.interpret_check:
+        # Correctness pass of both gather modes (small shapes, interpret).
+        h, cin, c = STAGES["L2"]
+        hp, wp = chain_meta(0, h, h)
+        xr = jnp.asarray(
+            rng.integers(-127, 128, (4 * hp * wp, cin)), jnp.int8
+        )
+        x6 = xr.reshape(4, hp // 2, 2, wp // 2, 2 * cin)
+        salt = jnp.zeros((8, 8), jnp.float32)
+        for mode in ("planes", "pairs"):
+            out = gather(x6, salt, bt=2, mode=mode, interpret=True)
+            assert np.isfinite(np.asarray(out)).all(), mode
+            print(f"interpret-check mode={mode}: ok", flush=True)
+        return
     for name in args.stages.split(","):
         h, cin, c = STAGES[name]
         hp, wp = chain_meta(0, h, h)
