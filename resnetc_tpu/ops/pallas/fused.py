@@ -44,6 +44,11 @@ RUN_FUSE_STAGES: tuple = (0,)
 #: this landed) — flip after VERIFY_TPU + the A/B measure.
 STAGE_FUSE_PROJ: bool = False
 
+#: Zero-pad the stem conv's cin (3 -> this value) before the XLA 7x7 on
+#: every fused path.  0 = off.  Mathematically exact; flips to the
+#: /tmp/stem_pad.py battery winner if padding beats cin=3.
+STEM_CIN_PAD: int = 0
+
 #: Gather the ds megakernels' stride-2 input as two ph-pair DMAs (coarse
 #: 15-32 KB contiguous runs) instead of four fine-grained phase planes
 #: (cin-byte runs), splitting pw in-kernel via 128-aligned lane slices.
@@ -90,6 +95,18 @@ def _conv(x, entry, *, stride, relu, residual=None, policy, interpret):
     if (kh, kw_) == (3, 3) and stride == 2 and residual is None:
         return conv3x3_s2_fused(x, w, bias, relu=relu, interpret=interpret)
     # Stem 7x7/2 (the only remaining XLA conv on the fused path).
+    pad = STEM_CIN_PAD - w.shape[2]
+    if pad > 0:
+        # Zero-pad cin so XLA's stem conv tiles a lane-friendlier minor dim
+        # (mathematically exact: zero channels contribute zero).  A/B flag;
+        # the entry experiment lives in the battery (/tmp/stem_pad.py).
+        x = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (0, pad)))
+        entry = {
+            "weight": jnp.pad(
+                entry["weight"], ((0, 0), (0, 0), (0, pad), (0, 0))
+            ),
+            "bias": bias,
+        }
     y = _xla_conv(
         x, entry, k=kh, stride=stride, padding=kh // 2, relu=False, policy=policy
     )

@@ -1169,6 +1169,30 @@ def test_basic_ds_block_s2_int8_matches_quant_reference(rng, h, w):
     np.testing.assert_allclose(got, ref, rtol=0, atol=1e-5)
 
 
+def test_stem_cin_pad_exact(rng, monkeypatch):
+    """STEM_CIN_PAD zero-pads the stem conv's cin — the logits must be
+    unchanged (zero channels contribute zero)."""
+    from resnetc_tpu.models import resnet
+    from resnetc_tpu.ops.pallas import fused as fused_mod
+
+    cfg = resnet.get_config("resnet50", num_classes=9)
+    variables = resnet.init(cfg, jax.random.key(7))
+    folded = resnet.fold_inference_params(cfg, variables)
+    x = jnp.asarray(rng.standard_normal((2, 64, 64, 3), dtype=np.float32))
+    scales = fused_mod.calibrate_chain_scales(cfg, folded, x)
+    qtree = fused_mod.quantize_chain(cfg, folded)
+    base = np.asarray(
+        fused_mod.fused_forward_int8_chain(cfg, qtree, scales, x, interpret=True),
+        np.float32,
+    )
+    monkeypatch.setattr(fused_mod, "STEM_CIN_PAD", 8)
+    padded = np.asarray(
+        fused_mod.fused_forward_int8_chain(cfg, qtree, scales, x, interpret=True),
+        np.float32,
+    )
+    np.testing.assert_allclose(padded, base, rtol=0, atol=1e-3)
+
+
 def test_int8_chain_basic_ds_branch(rng, monkeypatch):
     """BASIC_DS_INT8=True must (a) actually route every stage transition
     through basic_ds_block_s2_int8 and (b) stay close to the fp reference
