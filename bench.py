@@ -1,5 +1,5 @@
 #!/usr/bin/env python
-"""Headline benchmark: ResNet-50 batch-256 bf16 inference images/sec/chip.
+"""Headline benchmark: ResNet-50 batch-256 inference images/sec/chip.
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...}
@@ -12,7 +12,11 @@ batch-256.  ``vs_baseline`` is measured_throughput / (0.8 * roofline) —
 Every serving backend (xla / pallas / pallas_block / int8) is measured and
 reported under ``backend_images_per_sec``; the headline ``value`` is the best
 of them, with ``backend`` naming the winner — so a kernel-layer win shows up
-without editing this harness.
+without editing this harness.  The metric label and ``compute_precision``
+name the winner's precision honestly: when an int8 engine wins, its
+``mxu_utilization`` is judged against the int8 peak (2x bf16), and the best
+bf16-only number is reported alongside as ``bf16_images_per_sec`` /
+``bf16_mxu_utilization`` so both rooflines are visible in one line.
 
 Latency is reported three ways (VERDICT r1 item 9 + r2 weak #7):
 ``p50_latency_ms`` / ``p99_latency_ms`` are full round trips as a serving
@@ -42,9 +46,14 @@ from resnetc_tpu.serve import InferenceEngine, bench_latency, bench_throughput
 from resnetc_tpu.tensor import BF16
 from resnetc_tpu.utils.flops import model_flops
 
-# Peak bf16 MXU throughput per chip. TPU v5e: 197 TFLOP/s bf16.
-PEAK_BF16_FLOPS = {"tpu": 197e12}
-ROOFLINE_FRACTION = 0.8  # the BASELINE.json target
+# Peak MXU throughput per chip by compute precision. TPU v5e: 197 TFLOP/s
+# bf16, 394 TOP/s int8 (the 2x is real on this part — measured ~308 TF/s
+# chained int8 dots vs ~179 bf16, tools/probe_int8_mxu.py).  Utilization is
+# judged against the peak of the engine that actually ran; the int8 engines
+# must not be flattered by dividing by the smaller bf16 peak.
+PEAK_FLOPS = {"tpu": {"bf16": 197e12, "int8": 394e12}}
+INT8_BACKENDS = {"int8", "int8_chain"}
+ROOFLINE_FRACTION = 0.8  # the BASELINE.json target (against the bf16 roofline)
 
 
 def main() -> None:
@@ -129,10 +138,23 @@ def main() -> None:
     )
 
     flops = model_flops(cfg, image_size)
-    achieved_flops = best_ips * flops
-    peak = PEAK_BF16_FLOPS.get(platform)
-    mxu_util = achieved_flops / peak if peak else None
-    target = (peak * ROOFLINE_FRACTION / flops) if peak else None
+    peaks = PEAK_FLOPS.get(platform)
+    precision = "int8" if best_backend in INT8_BACKENDS else "bf16"
+    # Utilization against the precision the winning engine actually computes
+    # in; vs_baseline stays defined against the bf16 roofline (the driver's
+    # north-star target) regardless of which engine wins.
+    mxu_util = best_ips * flops / peaks[precision] if peaks else None
+    target = (peaks["bf16"] * ROOFLINE_FRACTION / flops) if peaks else None
+    bf16_candidates = [
+        b for b in backends
+        if b not in INT8_BACKENDS and per_backend[b] is not None
+    ]
+    bf16_ips = (
+        max(per_backend[b] for b in bf16_candidates) if bf16_candidates else None
+    )
+    bf16_util = (
+        bf16_ips * flops / peaks["bf16"] if (peaks and bf16_ips) else None
+    )
 
     # Training throughput (fwd+bwd+SGD, BN batch stats), same model/batch.
     from resnetc_tpu import train as train_mod
@@ -163,14 +185,21 @@ def main() -> None:
     train_ips = train_batch * train_steps / max(t_many - t_one, 1e-9)
 
     result = {
-        "metric": f"{model} batch-{batch} bf16 inference throughput",
+        "metric": f"{model} batch-{batch} inference throughput ({precision} engine)",
         "value": best_ips,
         "unit": "images/sec/chip",
         "vs_baseline": round(best_ips / target, 4) if target else None,
+        "baseline": "0.8 x v5e bf16 roofline (BASELINE.json north star)",
         "platform": platform,
         "backend": best_backend,
+        "compute_precision": precision,
         "backend_images_per_sec": per_backend,
+        "bf16_images_per_sec": bf16_ips,
+        "bf16_mxu_utilization": (
+            round(bf16_util, 4) if bf16_util is not None else None
+        ),
         "image_size": image_size,
+        # Against the peak of the precision that ran (int8 peak = 2x bf16).
         "mxu_utilization": round(mxu_util, 4) if mxu_util is not None else None,
         "p50_latency_ms": round(lat.p50_ms, 3),
         "p99_latency_ms": round(lat.p99_ms, 3),

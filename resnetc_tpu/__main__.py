@@ -38,6 +38,15 @@ def _build_engine(run):
     if run.data_dim * run.model_dim > 1:
         from resnetc_tpu.parallel import create_mesh, param_shardings
 
+        if run.backend == "int8_chain" and run.model_dim > 1:
+            # int8_chain replicates weights and shard_maps only the 'data'
+            # axis — a model axis would redundantly compute identical logits
+            # on every model rank. Fail fast rather than burn the chips.
+            raise SystemExit(
+                "--backend int8_chain does not support --model-dim > 1 "
+                "(channel TP applies to the XLA backends only); use "
+                f"--data-dim {run.data_dim * run.model_dim} instead"
+            )
         mesh = create_mesh(run.data_dim, run.model_dim)
         if run.backend != "int8_chain":
             # XLA backends shard the folded tree and let SPMD partition;

@@ -2167,24 +2167,31 @@ def _pick_bt_ds_s2(b: int, hq: int, wq: int, cin: int, c: int, c4: int) -> int:
     # v5e sweep (salted harness, 2026-08-17): the budget walk's picks were
     # already optimal at L2ds (bt=2) and L3ds (bt=4); L4ds c=512 improved
     # at bt=8 (0.960 vs 1.023 ms, -6%).
-    hit = {512: 8}.get(c)
-    if hit is not None and b % hit == 0:
-        return hit
     budget = 9 * 2**20
     weights = cin * c + 9 * c * c + c * c4 + cin * c4
-    best = 1
-    for bt in range(1, b + 1):
-        if b % bt:
-            continue
+
+    def work(bt: int) -> int:
         rows = bt * hq * wq
-        work = (
+        return (
             8 * rows * cin * 1     # phase planes (int8, double-buffered)
             + 6 * rows * c * 1     # interleaved z1 scratch (2, rows, 3c)
             + rows * c * 4         # conv2 int32 accumulator
             + rows * c4 * 1        # output block
             + weights
         )
-        if work > budget:
+
+    # Only take the measured hit when it also fits the budget: at larger
+    # spatial inputs (--image-size > 224 grows L4ds rows) the forced bt=8
+    # working set would blow the Mosaic VMEM cap and fail compile instead
+    # of degrading to a smaller bt.
+    hit = {512: 8}.get(c)
+    if hit is not None and b % hit == 0 and work(hit) <= budget:
+        return hit
+    best = 1
+    for bt in range(1, b + 1):
+        if b % bt:
+            continue
+        if work(bt) > budget:
             break
         best = bt
     return best

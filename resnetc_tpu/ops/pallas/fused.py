@@ -95,7 +95,10 @@ def _conv(x, entry, *, stride, relu, residual=None, policy, interpret):
     if (kh, kw_) == (3, 3) and stride == 2 and residual is None:
         return conv3x3_s2_fused(x, w, bias, relu=relu, interpret=interpret)
     # Stem 7x7/2 (the only remaining XLA conv on the fused path).
-    pad = STEM_CIN_PAD - w.shape[2]
+    # Gate the cin pad on kh == 7 so the flag affects only the stem conv it
+    # was designed to A/B — any other conv falling through (e.g. a 3x3/2
+    # with residual) would otherwise get exact-but-wasted pad FLOPs.
+    pad = (STEM_CIN_PAD - w.shape[2]) if kh == 7 else 0
     if pad > 0:
         # Zero-pad cin so XLA's stem conv tiles a lane-friendlier minor dim
         # (mathematically exact: zero channels contribute zero).  A/B flag;

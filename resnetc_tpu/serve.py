@@ -218,7 +218,9 @@ class ThroughputResult:
 @dataclasses.dataclass(frozen=True)
 class LatencyResult:
     p50_ms: float
-    p99_ms: float
+    #: None when the harness takes too few samples for a meaningful tail
+    #: percentile (bench_local_latency's handful of chained means).
+    p99_ms: float | None
     mean_ms: float
     samples: int
 
@@ -312,9 +314,13 @@ def bench_local_latency(
         for _ in range(runs)
     ]
     arr = np.array(samples) * 1e3
+    # No p99 here: each sample is already a chained MEAN over ``iters``
+    # executions, and a percentile over a handful of means is essentially
+    # the max — statistically meaningless as a tail estimate.  Frontend
+    # tail latency lives in bench_latency (50 independent dispatches).
     return LatencyResult(
         p50_ms=float(np.percentile(arr, 50)),
-        p99_ms=float(np.percentile(arr, 99)),
+        p99_ms=None,
         mean_ms=float(arr.mean()),
         samples=runs,
     )
