@@ -1952,7 +1952,7 @@ def _ds_block_s2_kernel(
     wd_ref, bd_ref, mask_ref,
     sw1_ref, sw2_ref, sw3_ref, swd_ref,
     o_ref, pl_ref, z1w_ref, dma_sems,
-    *, bt, hq, wq, hp2, wp2, c, cin, c4, emit_i8, pair_dma,
+    *, bt, hq, wq, hp2, wp2, c, cin, c4, emit_i8, pair_dma, onedot,
 ):
     """x6_ref: the INPUT stage's chain buffer left in HBM/ANY, viewed
     (B, hq, 2, wq, 2, cin) — a free reshape of the flat chain rows; plane
@@ -2126,6 +2126,42 @@ def _ds_block_s2_kernel(
         )
     else:
         pl3 = pl_ref[cur, 3].reshape(rows, cin)
+    if onedot:
+        # Whole-block form: TWO full-size dots (main + shortcut) over all
+        # bt images at once, ONE vector epilogue, then per-image stores.
+        # The per-image loop below runs 2*bt*ceil(n_u/chunk) small dots
+        # with an MXU-idle epilogue between each pair; here the MXU sees
+        # maximal M and the epilogue runs once.  The wq+1 boundary-garbage
+        # rows per image (~4% of M) are computed and never stored.  Same
+        # fp32 op order as the loop — bit-identical output.
+        y = jax.lax.dot_general(
+            z2, w3_ref[:],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        y = y.astype(jnp.float32) * sw3_ref[:].astype(jnp.float32)
+        y = y + b3_ref[:].astype(jnp.float32)
+        sc = jax.lax.dot_general(
+            jax.lax.slice_in_dim(pl3, 0, M, axis=0), wd_ref[:],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        y = y + (
+            sc.astype(jnp.float32) * swd_ref[:].astype(jnp.float32)
+            + bd_ref[:].astype(jnp.float32)
+        )
+        y = jnp.maximum(y, 0.0)
+        if emit_i8:
+            y = jnp.minimum(jnp.round(y), 127.0).astype(jnp.int8)
+        else:
+            y = y.astype(o_ref.dtype)
+        for k in range(bt):
+            base = k * hq * wq
+            obase = k * hp2 * wp2 + wp2 + 1
+            o_ref[obase : obase + n_u, :] = jax.lax.slice_in_dim(
+                y, base, base + n_u, axis=0
+            )
+        return
     for k in range(bt):
         base = k * hq * wq
         obase = k * hp2 * wp2 + wp2 + 1
@@ -2199,7 +2235,9 @@ def _pick_bt_ds_s2(b: int, hq: int, wq: int, cin: int, c: int, c4: int) -> int:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("h", "w_sp", "emit_i8", "bt", "pair_dma", "interpret"),
+    static_argnames=(
+        "h", "w_sp", "emit_i8", "bt", "pair_dma", "onedot", "interpret"
+    ),
 )
 def downsample_block_s2_int8(
     xr: jax.Array,
@@ -2213,6 +2251,7 @@ def downsample_block_s2_int8(
     emit_i8: bool = True,
     bt: int | None = None,
     pair_dma: bool = False,
+    onedot: bool = False,
     interpret: bool = False,
 ) -> jax.Array:
     """Whole stride-2 bottleneck downsample block, one kernel, chain to chain.
@@ -2302,7 +2341,7 @@ def downsample_block_s2_int8(
         functools.partial(
             _ds_block_s2_kernel,
             bt=bt, hq=hq, wq=wq, hp2=hp2, wp2=wp2, c=c, cin=cin, c4=c4,
-            emit_i8=emit_i8, pair_dma=pair_dma,
+            emit_i8=emit_i8, pair_dma=pair_dma, onedot=onedot,
         ),
         grid=(b // bt,),
         in_specs=[

@@ -57,6 +57,14 @@ STEM_CIN_PAD: int = 0
 #: tests/test_pallas.py).
 DS_PAIR_DMA: bool = False
 
+#: Emit the ds megakernels' conv3 + projection shortcut as TWO whole-block
+#: dots with one vector epilogue (per-image stores only) instead of the
+#: per-image chunked loop of small dots with MXU-idle epilogues between
+#: them — ROADMAP lever 1 (the conv1-over-planes half landed in round 3).
+#: Bit-identical output (same fp32 op order); A/B flag, default off until
+#: the on-chip battery measures it.
+DS_CONV3_ONEDOT: bool = False
+
 #: Serve the ResNet-18/34 stride-2 stage transitions with the int8
 #: basic-ds megakernel (ONE kernel per transition: pair-gathered 3x3/2 tap
 #: dots + chain-scatter + kh-batched 3x3 + pair-wide projection shortcut)
@@ -793,6 +801,7 @@ def fused_forward_int8_chain(
                     scale_row(stage, 0),
                     h=h, w_sp=w_sp, emit_i8=not last0,
                     pair_dma=DS_PAIR_DMA,
+                    onedot=DS_CONV3_ONEDOT,
                     interpret=interpret,
                 )
                 h, w_sp = (h + 1) // 2, (w_sp + 1) // 2

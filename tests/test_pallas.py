@@ -734,6 +734,13 @@ def test_downsample_pair_dma_bitmatch(rng, h):
     base = downsample_block_s2_int8(*args, pair_dma=False, **kw)
     pair = downsample_block_s2_int8(*args, pair_dma=True, **kw)
     assert jnp.array_equal(base, pair), "pair_dma output diverged"
+    # onedot (whole-block conv3 + shortcut dots, one epilogue, per-image
+    # stores) keeps the exact fp32 op order — must bit-match too, alone and
+    # composed with pair_dma.
+    one = downsample_block_s2_int8(*args, pair_dma=False, onedot=True, **kw)
+    assert jnp.array_equal(base, one), "onedot output diverged"
+    both = downsample_block_s2_int8(*args, pair_dma=True, onedot=True, **kw)
+    assert jnp.array_equal(base, both), "onedot+pair_dma output diverged"
 
 
 def test_chained_int8_projection_shortcut(rng):
@@ -1006,6 +1013,48 @@ def test_int8_chain_stage_fuse_proj_bitmatch(rng, monkeypatch):
         np.float32,
     )
     assert any(calls), "whole-stage branch never executed"
+    np.testing.assert_array_equal(got, want)
+
+
+def test_int8_chain_ds_conv3_onedot_bitmatch(rng, monkeypatch):
+    """DS_CONV3_ONEDOT (ds megakernel conv3+shortcut as whole-block dots)
+    must take the onedot path in every ds kernel call and produce
+    BIT-identical logits — same dots, same fp32 epilogue order."""
+    from resnetc_tpu.ops.pallas import block as block_mod
+    from resnetc_tpu.ops.pallas import fused as fused_mod
+    from resnetc_tpu.ops.pallas.fused import (
+        calibrate_chain_scales,
+        fused_forward_int8_chain,
+        quantize_chain,
+    )
+
+    cfg = resnet.get_config("resnet50", num_classes=11)
+    variables = resnet.init(cfg, jax.random.key(5))
+    folded = resnet.fold_inference_params(cfg, variables)
+    x = jnp.asarray(rng.standard_normal((2, 64, 64, 3), dtype=np.float32))
+    scales = calibrate_chain_scales(cfg, folded, x)
+    qtree = quantize_chain(cfg, folded)
+
+    monkeypatch.setattr(fused_mod, "DS_CONV3_ONEDOT", False)
+    want = np.asarray(
+        fused_forward_int8_chain(cfg, qtree, scales, x, interpret=True),
+        np.float32,
+    )
+
+    calls = []
+    real_ds = block_mod.downsample_block_s2_int8
+
+    def spy(*args, **kwargs):
+        calls.append(kwargs.get("onedot"))
+        return real_ds(*args, **kwargs)
+
+    monkeypatch.setattr(fused_mod, "DS_CONV3_ONEDOT", True)
+    monkeypatch.setattr(block_mod, "downsample_block_s2_int8", spy)
+    got = np.asarray(
+        fused_forward_int8_chain(cfg, qtree, scales, x, interpret=True),
+        np.float32,
+    )
+    assert calls and all(calls), "onedot path never executed"
     np.testing.assert_array_equal(got, want)
 
 

@@ -1,0 +1,99 @@
+"""On-chip calibration A/B: absmax vs percentile for the int8_chain engine.
+
+VERDICT r3 weak #5: percentile-vs-absmax was only ever compared in a CPU
+unit test.  This runs the real Mosaic kernels at the production shape
+(resnet50, 224 px) and reports, per method:
+
+  - e2e logit rel-MAE vs the bf16 folded forward (the reference's allclose
+    bar applies to whatever path ships — pytorch_inference.py:8-11)
+  - argmax agreement rate and top-5 overlap vs bf16
+  - throughput (the methods only change scale CONSTANTS, so any perf
+    delta is noise — recorded to prove neutrality)
+
+Distribution-mismatch matters for calibration, so calib and eval sets are
+built differently: calib = 8 images (4 unit-normal + 4 brightness/noise
+jitters of the real fixture JPEG); eval = 64 images (32 + 32, new seeds).
+After the battery: pin the winning method's measured rel-MAE into
+tools/verify_tpu.py's gate at a tighter bound than the current 0.35.
+"""
+import sys
+
+sys.path.insert(0, "/root/repo")
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from resnetc_tpu.data.preprocess import preprocess_file
+from resnetc_tpu.models import resnet
+from resnetc_tpu.ops.pallas import fused
+from resnetc_tpu.utils.timing import chained_seconds_per_iter
+
+FIXTURE = "/root/reference/test_imgs/ILSVRC2012_val_00004749.jpeg"
+
+
+def image_mix(n, seed):
+    """Half unit-normal noise, half jittered fixture crops (NHWC fp32)."""
+    rng = np.random.default_rng(seed)
+    noise = rng.standard_normal((n // 2, 224, 224, 3), dtype=np.float32)
+    fix = np.asarray(preprocess_file(FIXTURE))  # (1, 224, 224, 3) NHWC
+    jit = np.concatenate(
+        [
+            fix * rng.uniform(0.7, 1.3)
+            + rng.standard_normal(fix.shape, dtype=np.float32)
+            * rng.uniform(0.0, 0.3)
+            for _ in range(n - n // 2)
+        ]
+    ).astype(np.float32)
+    return np.concatenate([noise, jit])
+
+
+cfg = resnet.get_config("resnet50")
+variables = resnet.init(cfg, jax.random.key(0))
+folded = resnet.fold_inference_params(cfg, variables)
+qtree = fused.quantize_chain(cfg, folded)
+
+calib = jnp.asarray(image_mix(8, seed=1))
+eval_np = image_mix(64, seed=2)
+x_eval = jnp.asarray(eval_np, jnp.bfloat16)
+
+ref = np.asarray(
+    jax.jit(lambda xx: resnet.forward_folded(cfg, folded, xx))(
+        jnp.asarray(eval_np)
+    ),
+    np.float32,
+)
+ref_arg = ref.argmax(-1)
+ref_top5 = np.argsort(-ref, axis=-1)[:, :5]
+
+for method in ("absmax", "percentile"):
+    try:
+        scales = fused.calibrate_chain_scales(
+            cfg, folded, calib, method=method
+        )
+        got = np.asarray(
+            fused.fused_forward_int8_chain(cfg, qtree, scales, x_eval),
+            np.float32,
+        )
+        rel_mae = float(
+            np.abs(got - ref).mean() / (np.abs(ref).mean() + 1e-12)
+        )
+        agree = float((got.argmax(-1) == ref_arg).mean())
+        top5 = float(
+            np.mean(
+                [
+                    len(set(np.argsort(-g)[:5]) & set(t5)) / 5.0
+                    for g, t5 in zip(got, ref_top5)
+                ]
+            )
+        )
+        sec = chained_seconds_per_iter(
+            lambda xx: fused.fused_forward_int8_chain(cfg, qtree, scales, xx),
+            x_eval, iters=8,
+        )
+        print(
+            f"calib={method}: rel_mae={rel_mae:.4f} argmax_agree={agree:.3f} "
+            f"top5_overlap={top5:.3f} {sec*1e3:.2f} ms/b64",
+            flush=True,
+        )
+    except Exception as e:
+        print(f"calib={method}: FAIL {type(e).__name__}: {e}", flush=True)
