@@ -110,6 +110,7 @@ def cmd_bench(args) -> int:
 def cmd_train(args) -> int:
     import jax
     import jax.numpy as jnp
+    import numpy as np
 
     from resnetc_tpu import train
     from resnetc_tpu.config import run_config_from_args
@@ -118,6 +119,17 @@ def cmd_train(args) -> int:
     from resnetc_tpu.utils.metrics import MetricsLogger
 
     run = run_config_from_args(args)
+    if run.multihost:
+        # Must precede any device use so every process learns the global
+        # topology; afterwards jax.devices()/create_mesh are global and the
+        # single-host code below works unchanged (README "Multi-host").
+        from resnetc_tpu.parallel.distributed import initialize
+
+        initialize(
+            coordinator_address=run.coordinator,
+            num_processes=run.num_processes,
+            process_id=run.process_id,
+        )
     cfg = resnet.get_config(run.model, num_classes=run.num_classes)
     tcfg = train.TrainConfig(
         lr=args.lr, momentum=args.momentum, weight_decay=args.weight_decay,
@@ -133,6 +145,7 @@ def cmd_train(args) -> int:
 
         ts = load_train_state(args.resume, jax.device_get(ts))
         print(f"resumed from {args.resume} at step {int(ts.step)}")
+    mesh = None
     if run.data_dim * run.model_dim > 1:
         from resnetc_tpu.parallel import create_mesh
 
@@ -143,12 +156,32 @@ def cmd_train(args) -> int:
         def step_fn(ts, x, y, lr):
             return train.train_step(cfg, tcfg, ts, x, y, lr)
 
+    # Multi-host: every process loads only its 1/n slice of the GLOBAL
+    # batch (run.batch_size) and the slices assemble into one
+    # 'data'-sharded global array before the step.
+    n_proc = jax.process_count()
+    if n_proc > 1:
+        if mesh is None:
+            raise SystemExit(
+                "multi-host training needs a mesh: set --data-dim (and "
+                "optionally --model-dim) to cover all global devices"
+            )
+        from resnetc_tpu.parallel.distributed import global_batch_slice
+        from resnetc_tpu.parallel.distributed import (
+            host_local_to_global as to_global,
+        )
+
+        _, local_bs = global_batch_slice(run.batch_size)
+    else:
+        local_bs = run.batch_size
+
     if args.data_dir:
         from resnetc_tpu.data import ImageFolderLoader
 
         loader = ImageFolderLoader(
-            args.data_dir, batch_size=run.batch_size, image_size=run.image_size,
+            args.data_dir, batch_size=local_bs, image_size=run.image_size,
             train=True, epochs=10**9, seed=run.seed,
+            shard=(jax.process_index(), n_proc) if n_proc > 1 else None,
         )
 
         def take(it, n):
@@ -160,8 +193,17 @@ def cmd_train(args) -> int:
         batches = take(iter(loader), args.steps)
     else:
         batches = synthetic_batches(
-            batch_size=run.batch_size, image_size=run.image_size,
-            steps=args.steps, num_classes=run.num_classes, seed=run.seed,
+            batch_size=local_bs, image_size=run.image_size,
+            steps=args.steps, num_classes=run.num_classes,
+            seed=run.seed + jax.process_index(),
+        )
+    if n_proc > 1:
+        from jax.sharding import PartitionSpec as P
+
+        spec = P(("data",))
+        batches = (
+            (to_global(np.asarray(x), mesh, spec), to_global(np.asarray(y), mesh, spec))
+            for x, y in batches
         )
     import time
 
@@ -180,7 +222,13 @@ def cmd_train(args) -> int:
     if args.checkpoint_dir:
         from resnetc_tpu.checkpoint import save_train_state
 
-        save_train_state(args.checkpoint_dir, jax.device_get(ts))
+        # Orbax is multi-host aware: pass the (possibly globally sharded)
+        # state as-is — every process participates in the save.  Single
+        # host keeps the host-fetch so the checkpoint never holds device
+        # buffers alive.
+        save_train_state(
+            args.checkpoint_dir, ts if n_proc > 1 else jax.device_get(ts)
+        )
         print(f"saved checkpoint to {args.checkpoint_dir}")
     if args.export_weights_dir:
         # Bridge to the serving CLIs: classify/eval/bench load the
@@ -188,9 +236,25 @@ def cmd_train(args) -> int:
         from resnetc_tpu.checkpoint import save_reference_format
         from resnetc_tpu.models.resnet import merge_params_state
 
-        variables = merge_params_state(
-            jax.device_get(ts.params), jax.device_get(ts.bn_state)
-        )
+        if n_proc > 1:
+            # DP replicates params, so every process holds the full values;
+            # fetch the local replica and write from process 0 only.
+            # (Channel-TP shards params — re-run export single-host from
+            # the Orbax checkpoint in that case.)
+            if run.model_dim > 1:
+                raise SystemExit(
+                    "--export-weights-dir with --model-dim > 1 on multi-host "
+                    "is unsupported: params are channel-sharded; restore the "
+                    "Orbax checkpoint single-host and export from there"
+                )
+            get = lambda t: jax.tree.map(
+                lambda a: np.asarray(a.addressable_data(0)), t
+            )
+            if jax.process_index() != 0:
+                return 0
+        else:
+            get = jax.device_get
+        variables = merge_params_state(get(ts.params), get(ts.bn_state))
         n = save_reference_format(variables, args.export_weights_dir)
         print(f"exported {n} weight files to {args.export_weights_dir}")
     return 0

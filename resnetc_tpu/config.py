@@ -40,6 +40,13 @@ class RunConfig:
     model_dim: int = 1  # mesh model axis (channel TP)
     calib_method: str = "absmax"  # int8 activation calibration: absmax | percentile
     seed: int = 0
+    # Multi-HOST (one process per host): set multihost (auto-detect on TPU
+    # pods) or pass the explicit coordinator triple; see
+    # parallel/distributed.py and README "Multi-host".
+    multihost: bool = False
+    coordinator: str | None = None  # "host:port"
+    num_processes: int | None = None
+    process_id: int | None = None
 
 
 def add_run_args(p: argparse.ArgumentParser) -> None:
@@ -65,6 +72,15 @@ def add_run_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--data-dim", type=int, default=1, help="mesh data-parallel axis size")
     p.add_argument("--model-dim", type=int, default=1, help="mesh channel-TP axis size")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument(
+        "--multihost", action="store_true",
+        help="join the multi-process JAX runtime before any device use "
+        "(TPU pods auto-detect the topology; other setups also need "
+        "--coordinator/--num-processes/--process-id)",
+    )
+    p.add_argument("--coordinator", default=None, help='multi-host coordinator "host:port"')
+    p.add_argument("--num-processes", type=int, default=None, help="multi-host total process count")
+    p.add_argument("--process-id", type=int, default=None, help="this process's multi-host index")
 
 
 def run_config_from_args(args: argparse.Namespace) -> RunConfig:
@@ -80,4 +96,12 @@ def run_config_from_args(args: argparse.Namespace) -> RunConfig:
         model_dim=args.model_dim,
         calib_method=args.calib_method,
         seed=args.seed,
+        multihost=bool(
+            getattr(args, "multihost", False) or args.coordinator is not None
+        )
+        if hasattr(args, "coordinator")
+        else False,
+        coordinator=getattr(args, "coordinator", None),
+        num_processes=getattr(args, "num_processes", None),
+        process_id=getattr(args, "process_id", None),
     )

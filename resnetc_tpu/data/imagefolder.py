@@ -125,11 +125,21 @@ class ImageFolderLoader:
         label_sharding: Any | None = None,
         decode_workers: int = 2,
         prefetch: int = 2,
+        shard: tuple[int, int] | None = None,
     ):
         self.samples, self.classes = scan_imagefolder(root)
-        if len(self.samples) < batch_size:
+        # Multi-host data parallelism: shard=(process_index, process_count)
+        # gives each process a disjoint 1/count strided slice of every
+        # epoch's (shuffled) order; batch_size is then the PER-PROCESS
+        # batch.  Every process must use the same seed so the shuffles
+        # agree and the slices partition the epoch.
+        self.shard = shard
+        n_local = (
+            len(self.samples) if shard is None else len(self.samples) // shard[1]
+        )
+        if n_local < batch_size:
             raise ValueError(
-                f"{len(self.samples)} images < batch_size {batch_size}"
+                f"{n_local} images (per process) < batch_size {batch_size}"
             )
         self.batch_size = batch_size
         self.image_size = image_size
@@ -140,7 +150,7 @@ class ImageFolderLoader:
         self.label_sharding = label_sharding
         self.decode_workers = max(1, decode_workers)
         self.prefetch = prefetch
-        self.steps_per_epoch = len(self.samples) // batch_size
+        self.steps_per_epoch = n_local // batch_size
 
     def __len__(self) -> int:
         return self.steps_per_epoch * self.epochs
@@ -149,6 +159,12 @@ class ImageFolderLoader:
         idx = np.arange(len(self.samples))
         if self.train:
             np.random.default_rng(self.seed + epoch).shuffle(idx)
+        if self.shard is not None:
+            i, n = self.shard
+            # Strided post-shuffle slice: disjoint across processes, and
+            # truncated to the common length so every process runs the
+            # same number of steps (collectives stay in lockstep).
+            idx = idx[i::n][: len(self.samples) // n]
         return idx.tolist()
 
     def __iter__(self) -> Iterator[tuple[jax.Array, jax.Array]]:

@@ -102,3 +102,23 @@ def test_evaluate_runs_end_to_end(folder):
     result = evaluate(engine, folder, batch_size=5, image_size=64)
     assert result["count"] == 10.0
     assert 0.0 <= result["top1"] <= 1.0
+
+
+def test_loader_shard_partitions_epoch(folder):
+    """shard=(i, n) slices must be disjoint across processes, cover the
+    truncated epoch, and agree on steps_per_epoch (collective lockstep)."""
+    loaders = [
+        ImageFolderLoader(
+            folder, batch_size=2, image_size=32, train=True, shard=(i, 2),
+            seed=7,
+        )
+        for i in range(2)
+    ]
+    orders = [ld._epoch_order(0) for ld in loaders]
+    assert len(orders[0]) == len(orders[1]) == 5
+    assert not (set(orders[0]) & set(orders[1])), "shards overlap"
+    assert len(set(orders[0]) | set(orders[1])) == 10
+    assert loaders[0].steps_per_epoch == loaders[1].steps_per_epoch == 2
+    # Per-process slice smaller than the batch must be rejected up front.
+    with pytest.raises(ValueError):
+        ImageFolderLoader(folder, batch_size=6, image_size=32, shard=(0, 2))

@@ -1510,3 +1510,18 @@ def test_fused_forward_int8_chain_resnet34_close_to_fp(rng):
     rel_mae = np.mean(np.abs(got - ref)) / np.mean(np.abs(ref))
     assert rel_mae < 0.05, rel_mae
     assert (got.argmax(-1) == ref.argmax(-1)).mean() >= 0.9
+
+
+def test_pick_bt_ds_s2_measured_hit_respects_vmem_budget():
+    """The c=512 measured-table hit (bt=8) must only be taken when its
+    working set fits the VMEM budget; at larger spatial geometry the picker
+    must degrade to a smaller bt instead of forcing a no-compile bt=8
+    (ADVICE r3 medium)."""
+    from resnetc_tpu.ops.pallas.block import _pick_bt_ds_s2
+
+    # Production L4ds geometry: the hit applies.
+    assert _pick_bt_ds_s2(256, 4, 4, 1024, 512, 2048) == 8
+    # 4x the spatial rows (image-size 448-class input): bt=8's working set
+    # exceeds the budget -> must fall through to the walk, never return 8.
+    big = _pick_bt_ds_s2(256, 28, 28, 1024, 512, 2048)
+    assert big < 8 and 256 % big == 0
