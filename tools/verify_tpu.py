@@ -459,6 +459,37 @@ def _():
     return 0.0
 
 
+@check("int8_chain ds conv3-onedot bit-matches the per-image loop", 0.0)
+def _():
+    from resnetc_tpu.ops.pallas import fused
+    from resnetc_tpu.tensor import BF16
+
+    cfg, _, folded, x, ref = _fixture()
+    scales = fused.calibrate_chain_scales(cfg, folded, x)
+    qtree = fused.quantize_chain(cfg, folded)
+
+    def run():
+        return np.asarray(
+            jax.jit(
+                lambda f, s, xx: fused.fused_forward_int8_chain(
+                    cfg, f, s, xx, policy=BF16
+                )
+            )(qtree, scales, x),
+            np.float32,
+        )
+
+    old = fused.DS_CONV3_ONEDOT
+    try:
+        fused.DS_CONV3_ONEDOT = True
+        got = run()
+        fused.DS_CONV3_ONEDOT = False
+        want = run()
+    finally:
+        fused.DS_CONV3_ONEDOT = old
+    assert (got == want).all(), "onedot ds kernel diverges from per-image loop"
+    return 0.0
+
+
 @check("int8_chain basic-ds transitions (resnet18) vs XLA logits", 0.35)
 def _():
     from resnetc_tpu.models import resnet
