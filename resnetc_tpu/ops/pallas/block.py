@@ -1229,7 +1229,7 @@ def _basic_ds_kernel_int8(
     x6_ref, m8_ref, w1p_ref, c1_ref, w2p_ref, c2_ref, wdp_ref, cd_ref,
     mask2_ref, a1_ref, a2_ref, ad_ref,
     o_ref, pl_ref, xw_ref, z1r_ref, il_ref, dma_sems,
-    *, bt, hq, wq, hp2, wp2, c, cin, slot2, emit_i8,
+    *, bt, hq, wq, hp2, wp2, c, cin, slot2, emit_i8, onedot,
 ):
     """See the section comment.  m8_ref (2, rows_q, 2*cin) int8 0/1 masks
     the chain-ring garbage out of x before any 3x3 tap reads it (per
@@ -1336,6 +1336,34 @@ def _basic_ds_kernel_int8(
     # Plane (1,1) = x[2r, 2c] is the pw=1 half of the ph=1 pair; wdp's zero
     # top half kills the pw=0 lanes so the operand needs no lane slicing.
     pl11 = pl_ref[cur, 1].reshape(rows_q, 2 * cin)
+    if onedot:
+        # Whole-block shortcut dot + one epilogue (same fp32 op order as
+        # the per-image loop below — bit-identical); only the stores stay
+        # per image.  Mirrors the bottleneck ds kernel's onedot form.
+        sc_all = jax.lax.dot_general(
+            jax.lax.slice_in_dim(pl11, 0, M, axis=0), wdp_ref[:],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        for k in range(bt):
+            base = k * hq * wq
+            obase = k * hp2 * wp2 + wp2 + 1
+            y = (
+                jax.lax.slice_in_dim(y_all, obase, obase + n_u, axis=0)
+                + jax.lax.slice_in_dim(
+                    sc_all, base, base + n_u, axis=0
+                ).astype(jnp.float32)
+                * ad_ref[:].astype(jnp.float32)
+                + cd_ref[:].astype(jnp.float32)
+            )
+            y = jnp.maximum(y, 0.0)
+            if emit_i8:
+                o_ref[obase : obase + n_u, :] = jnp.minimum(
+                    jnp.round(y), 127.0
+                ).astype(jnp.int8)  # post-relu: no lower clip
+            else:
+                o_ref[obase : obase + n_u, :] = y.astype(o_ref.dtype)
+        return
     for k in range(bt):
         base = k * hq * wq
         obase = k * hp2 * wp2 + wp2 + 1
@@ -1400,7 +1428,8 @@ def _pick_bt_basic_ds(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("h", "w_sp", "emit_i8", "bt", "interpret")
+    jax.jit,
+    static_argnames=("h", "w_sp", "emit_i8", "bt", "onedot", "interpret"),
 )
 def basic_ds_block_s2_int8(
     xr: jax.Array,
@@ -1412,6 +1441,7 @@ def basic_ds_block_s2_int8(
     h: int, w_sp: int,
     emit_i8: bool = True,
     bt: int | None = None,
+    onedot: bool = False,
     interpret: bool = False,
 ) -> jax.Array:
     """Whole stride-2 BasicBlock (ResNet-18/34 stage transition), one
@@ -1507,7 +1537,7 @@ def basic_ds_block_s2_int8(
         functools.partial(
             _basic_ds_kernel_int8,
             bt=bt, hq=hq, wq=wq, hp2=hp2, wp2=wp2, c=c, cin=cin,
-            slot2=slot2, emit_i8=emit_i8,
+            slot2=slot2, emit_i8=emit_i8, onedot=onedot,
         ),
         grid=(b // bt,),
         in_specs=[

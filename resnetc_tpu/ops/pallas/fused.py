@@ -57,12 +57,13 @@ STEM_CIN_PAD: int = 0
 #: tests/test_pallas.py).
 DS_PAIR_DMA: bool = False
 
-#: Emit the ds megakernels' conv3 + projection shortcut as TWO whole-block
-#: dots with one vector epilogue (per-image stores only) instead of the
-#: per-image chunked loop of small dots with MXU-idle epilogues between
-#: them — ROADMAP lever 1 (the conv1-over-planes half landed in round 3).
-#: Bit-identical output (same fp32 op order); A/B flag, default off until
-#: the on-chip battery measures it.
+#: Emit the ds megakernels' trailing per-image loops (bottleneck: conv3 +
+#: projection shortcut; basic: projection shortcut) as whole-block dots
+#: with one vector epilogue (per-image stores only) instead of chunked
+#: small dots with MXU-idle epilogues between them — ROADMAP lever 1 (the
+#: conv1-over-planes half landed in round 3).  Bit-identical output (same
+#: fp32 op order); A/B flag, default off until the on-chip battery
+#: measures it.
 DS_CONV3_ONEDOT: bool = False
 
 #: Serve the ResNet-18/34 stride-2 stage transitions with the int8
@@ -588,7 +589,8 @@ def _basic_int8_chain_forward(
                     blk["w2pq"], blk["sw2p"], blk["b2"],
                     blk["wdq"], blk["swd"], blk["bd"],
                     scale_row(stage, 0),
-                    h=h, w_sp=w_sp, emit_i8=not last0, interpret=interpret,
+                    h=h, w_sp=w_sp, emit_i8=not last0,
+                    onedot=DS_CONV3_ONEDOT, interpret=interpret,
                 )
                 h, w_sp = (h + 1) // 2, (w_sp + 1) // 2
                 start = 1

@@ -1171,6 +1171,16 @@ def test_basic_ds_block_s2_int8_matches_quant_reference(rng, h, w):
         q["wdq"], q["swd"], q["bd"],
         scales, h=h, w_sp=w, emit_i8=True, interpret=True,
     )
+    # The onedot shortcut form (whole-block dot, one epilogue) must
+    # BIT-match the per-image loop on every geometry.
+    got_one = basic_ds_block_s2_int8(
+        pad_for_chain(quantize_with_scale(x, jnp.float32(s_x))),
+        q["w1pq"], q["sw1"], q["b1"],
+        q["w2pq"], q["sw2p"], q["b2"],
+        q["wdq"], q["swd"], q["bd"],
+        scales, h=h, w_sp=w, emit_i8=True, onedot=True, interpret=True,
+    )
+    assert jnp.array_equal(got_r, got_one), "basic-ds onedot diverged"
     got = np.asarray(unpad_from_chain(got_r, b, oh, ow), np.float32) * s_y
 
     def quant(v, s):

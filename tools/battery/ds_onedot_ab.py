@@ -86,3 +86,26 @@ for flag in (False, True):
               flush=True)
     finally:
         fused.DS_CONV3_ONEDOT = False
+
+# basic-family e2e (resnet18, transitions on the basic-ds megakernel):
+# onedot also covers the basic-ds shortcut loop.
+cfg18 = resnet.get_config("resnet18")
+v18 = resnet.init(cfg18, jax.random.key(0))
+f18 = resnet.fold_inference_params(cfg18, v18)
+s18 = fused.calibrate_chain_scales(cfg18, f18, calib)
+q18 = fused.quantize_chain(cfg18, f18)
+for flag in (False, True):
+    try:
+        fused.BASIC_DS_INT8 = True
+        fused.DS_CONV3_ONEDOT = flag
+        sec = chained_seconds_per_iter(
+            lambda xx: fused.fused_forward_int8_chain(cfg18, q18, s18, xx),
+            x, iters=12)
+        print(f"e2e resnet18 BASIC_DS_INT8 onedot={flag}: {sec*1e3:.2f} ms "
+              f"-> {256/sec:.0f} img/s", flush=True)
+    except Exception as e:
+        print(f"e2e resnet18 onedot={flag}: FAIL {type(e).__name__}: {e}",
+              flush=True)
+    finally:
+        fused.BASIC_DS_INT8 = False
+        fused.DS_CONV3_ONEDOT = False
