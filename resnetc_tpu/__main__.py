@@ -29,6 +29,16 @@ def _build_engine(run):
     from resnetc_tpu.serve import InferenceEngine
     from resnetc_tpu.tensor import policy
 
+    if run.multihost:
+        # The serving commands are single-process: each process would build
+        # the full batch locally and silently benchmark/classify it alone,
+        # which is NOT a distributed run.  Only `train` implements the
+        # multi-host data path (per-process shards -> global arrays).
+        raise SystemExit(
+            "--multihost/--coordinator are supported by the `train` "
+            "command only; for multi-chip serving within one host use "
+            "--data-dim (see README 'Multi-host')"
+        )
     cfg = resnet.get_config(run.model, num_classes=run.num_classes)
     if run.weights_dir:
         variables = checkpoint.load_reference_format(cfg, run.weights_dir)
@@ -182,6 +192,9 @@ def cmd_train(args) -> int:
             args.data_dir, batch_size=local_bs, image_size=run.image_size,
             train=True, epochs=10**9, seed=run.seed,
             shard=(jax.process_index(), n_proc) if n_proc > 1 else None,
+            # Multi-host assembles global arrays itself below; host arrays
+            # avoid a redundant device round trip per step.
+            to_device=n_proc == 1,
         )
 
         def take(it, n):

@@ -126,6 +126,7 @@ class ImageFolderLoader:
         decode_workers: int = 2,
         prefetch: int = 2,
         shard: tuple[int, int] | None = None,
+        to_device: bool = True,
     ):
         self.samples, self.classes = scan_imagefolder(root)
         # Multi-host data parallelism: shard=(process_index, process_count)
@@ -150,6 +151,10 @@ class ImageFolderLoader:
         self.label_sharding = label_sharding
         self.decode_workers = max(1, decode_workers)
         self.prefetch = prefetch
+        # to_device=False yields host np arrays — for multi-host callers
+        # that assemble global arrays themselves (device_put here would add
+        # a redundant full-batch round trip per step).
+        self.to_device = to_device
         self.steps_per_epoch = n_local // batch_size
 
     def __len__(self) -> int:
@@ -186,8 +191,15 @@ class ImageFolderLoader:
                     continue
             return False
 
+        # Augmentation streams must be per-process DISTINCT under
+        # multi-host sharding (same self.seed on every process keeps the
+        # shuffles aligned): seed by the GLOBAL draw position of the local
+        # counter — position p, p+n, p+2n, ... for shard (p, n).  Unsharded
+        # this is (seed, i), the original stream.
+        aug_p, aug_n = self.shard if self.shard is not None else (0, 1)
+
         def decode_one(i: int, path: str) -> np.ndarray:
-            rng = np.random.default_rng((self.seed, i))
+            rng = np.random.default_rng((self.seed, i * aug_n + aug_p))
             return _train_transform(path, rng, self.image_size)
 
         def eval_batch(paths: list[str]) -> np.ndarray:
@@ -236,12 +248,14 @@ class ImageFolderLoader:
                             else:
                                 batch = eval_batch(paths)
                             counter += 1
-                            ok = _put(
-                                (
+                            if self.to_device:
+                                item = (
                                     jax.device_put(batch, self.sharding),
                                     jax.device_put(labels, self.label_sharding),
                                 )
-                            )
+                            else:
+                                item = (batch, labels)
+                            ok = _put(item)
                             if not ok:
                                 return
             except BaseException as e:

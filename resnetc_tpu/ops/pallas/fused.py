@@ -46,7 +46,7 @@ STAGE_FUSE_PROJ: bool = False
 
 #: Zero-pad the stem conv's cin (3 -> this value) before the XLA 7x7 on
 #: every fused path.  0 = off.  Mathematically exact; flips to the
-#: /tmp/stem_pad.py battery winner if padding beats cin=3.
+#: tools/battery/stem_pad.py battery winner if padding beats cin=3.
 STEM_CIN_PAD: int = 0
 
 #: Gather the ds megakernels' stride-2 input as two ph-pair DMAs (coarse
@@ -111,7 +111,7 @@ def _conv(x, entry, *, stride, relu, residual=None, policy, interpret):
     if pad > 0:
         # Zero-pad cin so XLA's stem conv tiles a lane-friendlier minor dim
         # (mathematically exact: zero channels contribute zero).  A/B flag;
-        # the entry experiment lives in the battery (/tmp/stem_pad.py).
+        # the entry experiment lives in tools/battery/stem_pad.py.
         x = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (0, pad)))
         entry = {
             "weight": jnp.pad(

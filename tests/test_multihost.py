@@ -56,11 +56,19 @@ def test_two_process_train_cli_end_to_end():
         for i in range(2)
     ]
     outs = []
-    for i, p in enumerate(procs):
-        out, _ = p.communicate(timeout=600)
-        outs.append(out)
-        assert p.returncode == 0, f"proc {i} failed:\n{out[-3000:]}"
-        assert f"WORKER-OK {i} rc=0" in out, out[-3000:]
+    try:
+        for i, p in enumerate(procs):
+            out, _ = p.communicate(timeout=600)
+            outs.append(out)
+            assert p.returncode == 0, f"proc {i} failed:\n{out[-3000:]}"
+            assert f"WORKER-OK {i} rc=0" in out, out[-3000:]
+    finally:
+        # If one worker fails or times out, its peer blocks forever in
+        # distributed-init/collectives — never leak it past the test.
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+                p.wait()
     # Both processes ran the same global step stream: the logged loss at
     # the final step must agree exactly (same global batch, same psum).
     import json

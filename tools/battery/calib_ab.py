@@ -17,8 +17,10 @@ After the battery: pin the winning method's measured rel-MAE into
 tools/verify_tpu.py's gate at a tighter bound than the current 0.35.
 """
 import sys
+from pathlib import Path
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+import _common  # noqa: F401  (repo sys.path bootstrap)
 import jax
 import jax.numpy as jnp
 import numpy as np

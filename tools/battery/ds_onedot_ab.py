@@ -8,16 +8,19 @@ and e2e, in all four flag combinations so the winner can be flipped jointly
 with DS_PAIR_DMA.
 """
 import sys
+from pathlib import Path
 
-sys.path.insert(0, "/root/repo")
-import jax
-import jax.numpy as jnp
-import numpy as np
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+from _common import ab, bench_batch, build_int8_chain, time_forward  # noqa: E402
 
-from resnetc_tpu.ops.pallas.block import (
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
+
+from resnetc_tpu.ops.pallas.block import (  # noqa: E402
     chain_meta, downsample_block_s2_int8, quantize_ds_block,
 )
-from resnetc_tpu.utils.timing import chained_seconds_per_iter
+from resnetc_tpu.utils.timing import chained_seconds_per_iter  # noqa: E402
 
 rng = np.random.default_rng(0)
 B = 256
@@ -56,56 +59,21 @@ for name, (h, cin, c) in {"L2": (56, 256, 128), "L3": (28, 512, 256),
                       f"FAIL {type(e).__name__}: {e}", flush=True)
 
 # e2e A/B (resnet50 int8_chain), onedot off/on at current DS_PAIR_DMA default
-from resnetc_tpu.models import resnet
-from resnetc_tpu.ops.pallas import fused
-
-cfg = resnet.get_config("resnet50")
-variables = resnet.init(cfg, jax.random.key(0))
-folded = resnet.fold_inference_params(cfg, variables)
-calib = jnp.asarray(
-    np.random.default_rng(1).standard_normal((8, 224, 224, 3), dtype=np.float32)
-)
-scales = fused.calibrate_chain_scales(cfg, folded, calib)
-qtree = fused.quantize_chain(cfg, folded)
-x = jnp.asarray(
-    np.random.default_rng(0).standard_normal(
-        (256, 224, 224, 3), dtype=np.float32
-    ),
-    jnp.bfloat16,
-)
+x = bench_batch()
+cfg50, _, q50, s50 = build_int8_chain("resnet50")
 for flag in (False, True):
-    try:
-        fused.DS_CONV3_ONEDOT = flag
-        sec = chained_seconds_per_iter(
-            lambda xx: fused.fused_forward_int8_chain(cfg, qtree, scales, xx),
-            x, iters=12)
-        print(f"e2e int8_chain DS_CONV3_ONEDOT={flag}: {sec*1e3:.2f} ms "
-              f"-> {256/sec:.0f} img/s", flush=True)
-    except Exception as e:
-        print(f"e2e DS_CONV3_ONEDOT={flag}: FAIL {type(e).__name__}: {e}",
-              flush=True)
-    finally:
-        fused.DS_CONV3_ONEDOT = False
+    ab(
+        f"e2e int8_chain DS_CONV3_ONEDOT={flag}",
+        {"DS_CONV3_ONEDOT": flag},
+        lambda: time_forward(cfg50, q50, s50, x),
+    )
 
 # basic-family e2e (resnet18, transitions on the basic-ds megakernel):
 # onedot also covers the basic-ds shortcut loop.
-cfg18 = resnet.get_config("resnet18")
-v18 = resnet.init(cfg18, jax.random.key(0))
-f18 = resnet.fold_inference_params(cfg18, v18)
-s18 = fused.calibrate_chain_scales(cfg18, f18, calib)
-q18 = fused.quantize_chain(cfg18, f18)
+cfg18, _, q18, s18 = build_int8_chain("resnet18")
 for flag in (False, True):
-    try:
-        fused.BASIC_DS_INT8 = True
-        fused.DS_CONV3_ONEDOT = flag
-        sec = chained_seconds_per_iter(
-            lambda xx: fused.fused_forward_int8_chain(cfg18, q18, s18, xx),
-            x, iters=12)
-        print(f"e2e resnet18 BASIC_DS_INT8 onedot={flag}: {sec*1e3:.2f} ms "
-              f"-> {256/sec:.0f} img/s", flush=True)
-    except Exception as e:
-        print(f"e2e resnet18 onedot={flag}: FAIL {type(e).__name__}: {e}",
-              flush=True)
-    finally:
-        fused.BASIC_DS_INT8 = False
-        fused.DS_CONV3_ONEDOT = False
+    ab(
+        f"e2e resnet18 BASIC_DS_INT8 onedot={flag}",
+        {"BASIC_DS_INT8": True, "DS_CONV3_ONEDOT": flag},
+        lambda: time_forward(cfg18, q18, s18, x),
+    )
