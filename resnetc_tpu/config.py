@@ -38,7 +38,7 @@ class RunConfig:
     weights_dir: str | None = None  # reference raw-f32 weight directory
     data_dim: int = 1  # mesh data axis
     model_dim: int = 1  # mesh model axis (channel TP)
-    calib_method: str = "absmax"  # int8 activation calibration: absmax | percentile
+    calib_method: str = "absmax"  # int8 calibration: absmax | percentile | mse
     seed: int = 0
     # Multi-HOST (one process per host): set multihost (auto-detect on TPU
     # pods) or pass the explicit coordinator triple; see
@@ -65,9 +65,10 @@ def add_run_args(p: argparse.ArgumentParser) -> None:
     p.add_argument(
         "--calib-method",
         default="absmax",
-        choices=["absmax", "percentile"],
+        choices=["absmax", "percentile", "mse"],
         help="int8 activation-scale calibration (percentile clips at the "
-        "99.9th percentile of |act| — robust to outlier activations)",
+        "99.9th percentile of |act|; mse picks the per-site clip that "
+        "minimizes quantization MSE — both robust to outlier activations)",
     )
     p.add_argument("--data-dim", type=int, default=1, help="mesh data-parallel axis size")
     p.add_argument("--model-dim", type=int, default=1, help="mesh channel-TP axis size")

@@ -383,21 +383,43 @@ def calibrate_chain_scales(
     kernels' s_y always comes from the next block's record.
 
     ``method``: "absmax" (default — exact range, fragile to a single
-    outlier activation) or "percentile" (clip at the ``pct`` percentile of
+    outlier activation), "percentile" (clip at the ``pct`` percentile of
     |act|; the kernels clamp to ±127 on every quantize, so values past the
     clip saturate instead of stretching the grid for everyone — the
-    standard robust-calibration trade).
+    standard robust-calibration trade), or "mse" (pick the clip that
+    minimizes the quantization mean-squared error over a candidate sweep —
+    balances clipping error against grid resolution per site instead of
+    using one fixed percentile everywhere).
     """
-    assert method in ("absmax", "percentile"), method
+    assert method in ("absmax", "percentile", "mse"), method
     scales: dict = {}
+
+    def mse_clip(a: jax.Array) -> jax.Array:
+        """argmin over clip candidates of E[(quant(a; clip) - a)^2].
+
+        Deterministic strided subsample caps the search tensor (the MSE
+        estimate needs thousands of points, not millions); candidates
+        sweep [0.25, 1.0] x absmax — below 0.25 the clipping error of a
+        post-ReLU conv activation always dominates.
+        """
+        flat = a.reshape(-1)
+        step = max(1, flat.shape[0] // (1 << 18))
+        sample = flat[::step]
+        hi = jnp.max(sample)
+        cands = hi * jnp.linspace(0.25, 1.0, 24)[:, None]  # (24, 1)
+        s = jnp.maximum(cands / 127.0, 1e-8)
+        q = jnp.clip(jnp.round(sample[None, :] / s), -127.0, 127.0) * s
+        err = jnp.mean(jnp.square(q - sample[None, :]), axis=1)
+        return cands[jnp.argmin(err), 0]
 
     def s_of(act):
         a = jnp.abs(act.astype(jnp.float32))
-        stat = (
-            jnp.max(a)
-            if method == "absmax"
-            else jnp.percentile(a.reshape(-1), pct)
-        )
+        if method == "absmax":
+            stat = jnp.max(a)
+        elif method == "percentile":
+            stat = jnp.percentile(a.reshape(-1), pct)
+        else:
+            stat = mse_clip(a)
         return jnp.maximum(stat / 127.0, 1e-8)
 
     def conv(xx, entry, *, stride, relu):

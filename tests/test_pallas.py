@@ -1475,7 +1475,7 @@ def test_percentile_calibration_robust_to_outliers(rng):
     qtree = quantize_chain(cfg, folded)
 
     errs = {}
-    for method in ("absmax", "percentile"):
+    for method in ("absmax", "percentile", "mse"):
         scales = calibrate_chain_scales(cfg, folded, x_cal, method=method)
         got = np.asarray(
             fused_forward_int8_chain(
@@ -1488,6 +1488,11 @@ def test_percentile_calibration_robust_to_outliers(rng):
     assert errs["percentile"] < errs["absmax"], errs
     # And percentile stays accurate in absolute terms on clean data.
     assert errs["percentile"] < 0.08, errs
+    # MSE-optimal clipping must also beat absmax here (it sees the same
+    # outliers but refuses to spend grid range on them when the MSE says
+    # clipping is cheaper).
+    assert errs["mse"] < errs["absmax"], errs
+    assert errs["mse"] < 0.08, errs
 
 
 def test_fused_forward_int8_chain_resnet34_close_to_fp(rng):

@@ -67,7 +67,7 @@ ref = np.asarray(
 ref_arg = ref.argmax(-1)
 ref_top5 = np.argsort(-ref, axis=-1)[:, :5]
 
-for method in ("absmax", "percentile"):
+for method in ("absmax", "percentile", "mse"):
     try:
         scales = fused.calibrate_chain_scales(
             cfg, folded, calib, method=method
