@@ -26,6 +26,8 @@ log "ds conv3-onedot kernel A/B (isolated 2x2 + e2e)"
 timeout 4800 python /root/repo/tools/battery/ds_onedot_ab.py
 log "int8 calibration A/B (absmax vs percentile, real-fixture mix)"
 timeout 3600 python /root/repo/tools/battery/calib_ab.py
+log "greedy best-config search (unattended answer)"
+timeout 4800 python /root/repo/tools/battery/auto_best.py
 log "train batch-size sweep"
 timeout 2400 python tools/profile_train.py --batch 384 --iters 6
 timeout 2400 python tools/profile_train.py --batch 512 --iters 6
