@@ -68,6 +68,7 @@ def _build_engine(run):
         cfg, variables, policy=policy(run.policy),
         backend=run.backend, sharding=sharding, mesh=mesh,
         calib_method=run.calib_method,
+        calib_per_channel=run.calib_per_channel,
     )
 
 

@@ -372,6 +372,7 @@ def calibrate_chain_scales(
     policy: DtypePolicy = BF16,
     method: str = "absmax",
     pct: float = 99.9,
+    per_channel_interior: bool = False,
 ) -> Pytree:
     """Static activation scales for the int8 block megakernels.
 
@@ -390,6 +391,13 @@ def calibrate_chain_scales(
     minimizes the quantization mean-squared error over a candidate sweep —
     balances clipping error against grid resolution per site instead of
     using one fixed percentile everywhere).
+
+    ``per_channel_interior``: the INTERIOR sites (z1, z2 — each consumed by
+    exactly one conv) get per-channel scale VECTORS instead of scalars.
+    These fold entirely into host-side constants (consumer weight rows
+    pre-scaled before quantization, producer epilogue vectors divided —
+    see bake_interior_scales), so the kernels are untouched; block-boundary
+    scales ("in", which feed the identity-residual adds) stay scalar.
     """
     assert method in ("absmax", "percentile", "mse"), method
     scales: dict = {}
@@ -422,6 +430,33 @@ def calibrate_chain_scales(
             stat = mse_clip(a)
         return jnp.maximum(stat / 127.0, 1e-8)
 
+    def mse_clip_perchan(a2: jax.Array) -> jax.Array:
+        """Per-channel mse_clip: a2 is (rows, C) |act|; returns (C,)."""
+        C = a2.shape[1]
+        step = max(1, a2.shape[0] // max(1, (1 << 18) // C))
+        sample = a2[::step]  # (S, C)
+        hi = jnp.max(sample, axis=0)  # (C,)
+        cands = hi[None, :] * jnp.linspace(0.25, 1.0, 24)[:, None]  # (24, C)
+        s = jnp.maximum(cands / 127.0, 1e-8)[:, None, :]  # (24, 1, C)
+        q = jnp.clip(jnp.round(sample[None] / s), -127.0, 127.0) * s
+        err = jnp.mean(jnp.square(q - sample[None]), axis=1)  # (24, C)
+        return jnp.take_along_axis(
+            cands, jnp.argmin(err, axis=0)[None, :], axis=0
+        )[0]
+
+    def s_interior(act):
+        """Scale for an interior site: per-channel vector when requested."""
+        if not per_channel_interior:
+            return s_of(act)
+        a = jnp.abs(act.astype(jnp.float32)).reshape(-1, act.shape[-1])
+        if method == "absmax":
+            stat = jnp.max(a, axis=0)
+        elif method == "percentile":
+            stat = jnp.percentile(a, pct, axis=0)
+        else:
+            stat = mse_clip_perchan(a)
+        return jnp.maximum(stat / 127.0, 1e-8)
+
     def conv(xx, entry, *, stride, relu):
         w = entry["weight"].astype(policy.compute)
         k = w.shape[0]
@@ -449,7 +484,7 @@ def calibrate_chain_scales(
                 z1 = conv(y, blk["conv1"], stride=1, relu=True)
                 z2 = conv(z1, blk["conv2"], stride=s, relu=True)
                 layer_scales[str(b)] = {
-                    "in": s_of(y), "z1": s_of(z1), "z2": s_of(z2),
+                    "in": s_of(y), "z1": s_interior(z1), "z2": s_interior(z2),
                 }
                 y = lax_ops.relu(conv(z2, blk["conv3"], stride=1, relu=False) + short)
             else:
@@ -458,7 +493,7 @@ def calibrate_chain_scales(
                 # of the basic chain kernel.  Stride-2 blocks are served
                 # bf16 (XLA) but their "in" is still the re-quantize scale
                 # at the stage boundary.
-                layer_scales[str(b)] = {"in": s_of(y), "z1": s_of(z)}
+                layer_scales[str(b)] = {"in": s_of(y), "z1": s_interior(z)}
                 y = lax_ops.relu(conv(z, blk["conv2"], stride=1, relu=False) + short)
         if layer_scales:
             scales[f"layer{stage + 1}"] = layer_scales
@@ -516,6 +551,94 @@ def quantize_chain(cfg: ResNetConfig, folded: Pytree) -> Pytree:
                 qblocks[b_str] = q
         out[f"layer{stage + 1}"] = qblocks
     return out
+
+
+def bake_interior_scales(
+    cfg: ResNetConfig, folded: Pytree, scales_pc: Pytree
+) -> tuple[Pytree, Pytree]:
+    """Bake per-channel INTERIOR activation scales into host constants.
+
+    ``scales_pc`` comes from calibrate_chain_scales(per_channel_interior=
+    True): z1/z2 are per-channel vectors, "in" scalars.  Each interior site
+    has exactly one producer and one consumer, so the vectors fold away
+    entirely on the host:
+
+      - consumer weights are pre-scaled along their INPUT-channel axis by
+        the site vector BEFORE quantization (the scale rides inside the
+        int8 weight values + their per-output-channel dequant scales),
+      - the producer's epilogue vectors (sw*, b*) are divided by the site
+        vector per OUTPUT channel (they were per-channel already),
+      - the runtime scales tree records 1.0 at the baked sites.
+
+    Returns (qtree, runtime_scales); the kernels and wrappers are entirely
+    unchanged — this is strictly a different set of folded constants.
+    Block-boundary scales ("in") stay scalar: they feed the kernels'
+    identity-residual SMEM scalar and the chaining contract.
+    """
+    one = jnp.float32(1.0)
+
+    def prescale(entry, vec):
+        # Input-channel axis is -2 for both (cin, cout) and HWIO weights.
+        return {
+            "weight": entry["weight"] * vec[..., :, None],
+            "bias": entry["bias"],
+        }
+
+    folded2 = {k: v for k, v in folded.items() if not k.startswith("layer")}
+    runtime: dict = {}
+    for stage in range(4):
+        blocks = folded[f"layer{stage + 1}"]
+        sites = scales_pc[f"layer{stage + 1}"]
+        f2b: dict = {}
+        rb: dict = {}
+        for b_str, blk in blocks.items():
+            st = sites[b_str]
+            blk2 = dict(blk)
+            if cfg.block == "bottleneck":
+                blk2["conv2"] = prescale(blk["conv2"], st["z1"])
+                blk2["conv3"] = prescale(blk["conv3"], st["z2"])
+                rb[b_str] = {"in": st["in"], "z1": one, "z2": one}
+            else:
+                blk2["conv2"] = prescale(blk["conv2"], st["z1"])
+                rb[b_str] = {"in": st["in"], "z1": one}
+            f2b[b_str] = blk2
+        folded2[f"layer{stage + 1}"] = f2b
+        runtime[f"layer{stage + 1}"] = rb
+
+    qtree = quantize_chain(cfg, folded2)
+
+    # Producer-epilogue divisions (+ restore fp entries the bf16 XLA
+    # transition branch reads — those must stay UN-prescaled).
+    for stage in range(4):
+        for b_str, q in qtree[f"layer{stage + 1}"].items():
+            st = scales_pc[f"layer{stage + 1}"][b_str]
+            orig = folded[f"layer{stage + 1}"][b_str]
+            if cfg.block == "bottleneck":
+                s_z1, s_z2 = st["z1"], st["z2"]
+                q["sw1"] = q["sw1"] / s_z1
+                q["b1"] = q["b1"] / s_z1
+                if "sw2p" in q:  # chain block: conv2 scales per (kh, j)
+                    q["sw2p"] = q["sw2p"] / jnp.tile(s_z2, 3)
+                else:  # ds block: joint per-j scales across the nine taps
+                    q["sw2"] = q["sw2"] / s_z2
+                q["b2"] = q["b2"] / s_z2
+            elif "wdq" in q and "w1pq" in q:
+                # basic-ds transition: conv1 (3x3/2 pair-packed) produces
+                # z1 with JOINT per-output-channel scales.
+                q["sw1"] = q["sw1"] / st["z1"]
+                q["b1"] = q["b1"] / st["z1"]
+                for k in ("conv1", "conv2", "downsample"):
+                    if k in orig:
+                        q[k] = orig[k]
+            elif "sw1p" in q:
+                # basic stride-1 block: conv1 scales per (kh, j).
+                q["sw1p"] = q["sw1p"] / jnp.tile(st["z1"], 3)
+                q["b1"] = q["b1"] / st["z1"]
+            else:
+                # Transition kept as plain folded fp (no downsample case):
+                # restore the un-prescaled original wholesale.
+                qtree[f"layer{stage + 1}"][b_str] = orig
+    return qtree, runtime
 
 
 def _chain_scale_lookups(cfg: ResNetConfig, chain_scales: Pytree):

@@ -45,6 +45,7 @@ class InferenceEngine:
         backend: str = "xla",
         calib_batch: jax.Array | None = None,
         calib_method: str = "absmax",
+        calib_per_channel: bool = False,
         mesh: Any | None = None,
     ):
         """``mesh`` (with a 'data' axis) enables data-parallel serving for
@@ -104,14 +105,24 @@ class InferenceEngine:
             # 99.9th percentile of |act| — robust when real data carries
             # rare outlier activations (the kernels clamp, so outliers
             # saturate instead of stretching the int8 grid).
-            self._chain_scales = jax.tree.map(
-                jnp.asarray,
-                calibrate_chain_scales(
-                    model_cfg, folded, calib_batch, policy=policy,
-                    method=calib_method,
-                ),
+            # calib_per_channel=True additionally gives the interior sites
+            # per-channel scale vectors, baked entirely into host constants
+            # (bake_interior_scales) — measured -36% e2e quant error on
+            # resnet50, zero kernel/runtime change.
+            scales = calibrate_chain_scales(
+                model_cfg, folded, calib_batch, policy=policy,
+                method=calib_method,
+                per_channel_interior=calib_per_channel,
             )
-            folded = quantize_chain(model_cfg, folded)
+            if calib_per_channel:
+                from resnetc_tpu.ops.pallas.fused import bake_interior_scales
+
+                folded, scales = bake_interior_scales(
+                    model_cfg, folded, scales
+                )
+            else:
+                folded = quantize_chain(model_cfg, folded)
+            self._chain_scales = jax.tree.map(jnp.asarray, scales)
         # Pre-cast weights to the compute dtype once, on device — serving
         # never pays the cast again.
         folded = jax.tree.map(lambda a: jnp.asarray(a), folded)

@@ -68,12 +68,18 @@ ref_arg = ref.argmax(-1)
 ref_top5 = np.argsort(-ref, axis=-1)[:, :5]
 
 for method in ("absmax", "percentile", "mse"):
+  for per_channel in (False, True):
     try:
         scales = fused.calibrate_chain_scales(
-            cfg, folded, calib, method=method
+            cfg, folded, calib, method=method,
+            per_channel_interior=per_channel,
         )
+        if per_channel:
+            qt, scales = fused.bake_interior_scales(cfg, folded, scales)
+        else:
+            qt = qtree
         got = np.asarray(
-            fused.fused_forward_int8_chain(cfg, qtree, scales, x_eval),
+            fused.fused_forward_int8_chain(cfg, qt, scales, x_eval),
             np.float32,
         )
         rel_mae = float(
@@ -89,13 +95,17 @@ for method in ("absmax", "percentile", "mse"):
             )
         )
         sec = chained_seconds_per_iter(
-            lambda xx: fused.fused_forward_int8_chain(cfg, qtree, scales, xx),
+            lambda xx: fused.fused_forward_int8_chain(cfg, qt, scales, xx),
             x_eval, iters=8,
         )
         print(
-            f"calib={method}: rel_mae={rel_mae:.4f} argmax_agree={agree:.3f} "
-            f"top5_overlap={top5:.3f} {sec*1e3:.2f} ms/b64",
+            f"calib={method} pc={per_channel}: rel_mae={rel_mae:.4f} "
+            f"argmax_agree={agree:.3f} top5_overlap={top5:.3f} "
+            f"{sec*1e3:.2f} ms/b64",
             flush=True,
         )
     except Exception as e:
-        print(f"calib={method}: FAIL {type(e).__name__}: {e}", flush=True)
+        print(
+            f"calib={method} pc={per_channel}: FAIL {type(e).__name__}: {e}",
+            flush=True,
+        )
