@@ -45,7 +45,7 @@ class InferenceEngine:
         backend: str = "xla",
         calib_batch: jax.Array | None = None,
         calib_method: str = "absmax",
-        calib_per_channel: bool = False,
+        calib_per_channel: bool = True,
         mesh: Any | None = None,
     ):
         """``mesh`` (with a 'data' axis) enables data-parallel serving for
