@@ -78,11 +78,20 @@ def cmd_classify(args) -> int:
 
     run = run_config_from_args(args)
     cfg, engine = _build_engine(run)
+    labels = None
+    if args.labels_file:
+        # One class name per line, line i = class index i (the torchvision
+        # categories format); indices past the file fall back to numbers.
+        with open(args.labels_file) as f:
+            labels = [ln.strip() for ln in f]
     classes = classify_files(engine, args.images, image_size=run.image_size)
     for path, cls in zip(args.images, classes):
         # Same readout as the reference's "max index is <idx>" (main.cu:250),
         # one line per image.
-        print(f"{path}: class {cls}")
+        name = (
+            f" ({labels[cls]})" if labels and 0 <= cls < len(labels) else ""
+        )
+        print(f"{path}: class {cls}{name}")
     return 0
 
 
@@ -369,6 +378,11 @@ def main(argv: list[str] | None = None) -> int:
     p = sub.add_parser("classify", help="classify image files (top-1 index)")
     add_run_args(p)
     p.add_argument("images", nargs="+")
+    p.add_argument(
+        "--labels-file", default=None,
+        help="class-name file (one name per line, line i = index i) to "
+        "print names alongside indices",
+    )
     p.set_defaults(fn=cmd_classify)
 
     p = sub.add_parser("bench", help="serving throughput + latency")

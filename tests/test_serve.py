@@ -83,3 +83,21 @@ def test_cli_config_roundtrip():
         p.parse_args(["--model", "vgg16"])
     with pytest.raises(SystemExit):
         p.parse_args(["--backend", "tensorrt"])
+
+
+def test_multihost_flags_rejected_outside_train():
+    """--multihost on serving subcommands must fail fast (only train
+    implements the multi-host data path; silently ignoring the flags
+    yields non-distributed runs that look distributed)."""
+    import argparse
+
+    from resnetc_tpu.__main__ import _build_engine
+    from resnetc_tpu.config import add_run_args, run_config_from_args
+
+    p = argparse.ArgumentParser()
+    add_run_args(p)
+    run = run_config_from_args(
+        p.parse_args(["--model", "resnet18", "--multihost"])
+    )
+    with pytest.raises(SystemExit, match="train"):
+        _build_engine(run)
