@@ -490,6 +490,28 @@ def _():
     return 0.0
 
 
+@check("int8_chain per-channel interior bake (engine default) vs XLA", 0.2)
+def _():
+    from resnetc_tpu.ops.pallas import fused
+    from resnetc_tpu.tensor import BF16
+
+    cfg, _, folded, x, ref = _fixture()
+    scales_pc = fused.calibrate_chain_scales(
+        cfg, folded, x, per_channel_interior=True
+    )
+    qtree, scales = fused.bake_interior_scales(cfg, folded, scales_pc)
+    got = np.asarray(
+        jax.jit(
+            lambda f, s, xx: fused.fused_forward_int8_chain(
+                cfg, f, s, xx, policy=BF16
+            )
+        )(qtree, scales, x),
+        np.float32,
+    )
+    assert (got.argmax(-1) == ref.argmax(-1)).all(), "argmax mismatch vs XLA"
+    return rel_mae(got, ref)
+
+
 @check("int8_chain basic-ds transitions (resnet18) vs XLA logits", 0.35)
 def _():
     from resnetc_tpu.models import resnet
