@@ -29,8 +29,14 @@ if str(REPO) not in sys.path:
 
 import jax
 
-if jax.default_backend() not in ("tpu",):
+# ALWAYS force CPU: op structure is what this probe reads (timing lives in
+# probe_train_bwd.py on chip), and merely ASKING for the default backend
+# (jax.default_backend()) initializes it — which hangs forever when the
+# axon tunnel is down (the exact trap tests/conftest.py documents).
+try:
     jax.config.update("jax_platforms", "cpu")
+except RuntimeError:
+    pass  # backend already initialized by an embedding process
 
 import jax.numpy as jnp
 import numpy as np
@@ -63,7 +69,10 @@ def main() -> int:
 
     counts = collections.Counter()
     for line in hlo.splitlines():
-        m = re.search(r"=\s+[\w\[\],{}<>]+\s+(\w[\w-]*)\(", line)
+        # Truncate before regexing: HLO text embeds multi-MB constant
+        # literals on single lines and the op name sits in the first few
+        # hundred chars — unbounded search backtracks for minutes.
+        m = re.search(r"=\s+\S+\s+([a-z][\w-]*)\(", line[:400])
         if m:
             counts[m.group(1)] += 1
     n_conv = counts.get("convolution", 0)
@@ -90,15 +99,17 @@ def main() -> int:
     shape_re = re.compile(r"(bf16|f32)\[(\d+),(\d+),(\d+),(\d+)\]")
     big = collections.Counter()
     for line in hlo.splitlines():
+        line = line[:400]
         if "= fusion" in line or "fusion(" in line:
             m = shape_re.search(line)
             if m:
                 n, h, w, c = map(int, m.groups()[1:])
                 big[(h, w, c)] += 1
     rows = sorted(big.items(), key=lambda kv: -kv[0][0] * kv[0][1] * kv[0][2])
-    print("fusion outputs per activation shape (passes over that size):")
+    print("fusion outputs per 4-D shape (both weight-grad and activation "
+          "shapes appear; count = separate fused passes producing that size):")
     for (h, w, c), n in rows[:8]:
-        print(f"  {h}x{w}x{c}: {n} fusions")
+        print(f"  [*,{h},{w},{c}]: {n} fusions")
     return 0
 
 
