@@ -35,4 +35,11 @@ log "train backward attribution"
 timeout 3600 python tools/probe_train_bwd.py
 log "gemm autotune"
 timeout 5400 python tools/autotune_gemm.py
+log "preserve artifacts in-repo (unattended run must survive /tmp wipes)"
+cp /tmp/bench_r4.json /root/repo/BENCH_battery_r04.json 2>/dev/null || true
+cp /tmp/battery.log /root/repo/BATTERY_r04.log 2>/dev/null || true
+(cd /root/repo \
+ && git add BATTERY_r04.log BENCH_battery_r04.json VERIFY_TPU.json 2>/dev/null \
+ && git commit -q -m "Battery r04: on-chip measurement artifacts (unattended)" \
+ || true)
 log "battery ALL done"
