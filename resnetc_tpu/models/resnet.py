@@ -50,6 +50,10 @@ class ResNetConfig:
     stage_blocks: tuple[int, int, int, int]
     num_classes: int = 1000
     stem_width: int = 64
+    #: torchvision wide_resnet*: the bottleneck's INNER width scales by
+    #: this factor (width_per_group 128 = factor 2) while stage outputs
+    #: (and the stem) stay at the standard 256/512/1024/2048.
+    width_factor: int = 1
 
     @property
     def expansion(self) -> int:
@@ -62,8 +66,8 @@ class ResNetConfig:
 
     def stage_channels(self, stage: int) -> tuple[int, int]:
         """(inter_channels, out_channels) for stage in [0, 4)."""
-        inter = self.stem_width * (2**stage)
-        return inter, inter * self.expansion
+        base = self.stem_width * (2**stage)
+        return base * self.width_factor, base * self.expansion
 
 
 RESNET_CONFIGS: dict[str, ResNetConfig] = {
@@ -74,6 +78,15 @@ RESNET_CONFIGS: dict[str, ResNetConfig] = {
     # The reference's one and only model: 3+8+36+3 bottleneck blocks
     # (main.cu:116-119).
     "resnet152": ResNetConfig("resnet152", "bottleneck", (3, 8, 36, 3)),
+    # Beyond the reference: torchvision's wide variants (width_per_group
+    # 128 — inner widths x2, stage outputs unchanged, state_dict keys and
+    # shapes torchvision-exact).
+    "wide_resnet50_2": ResNetConfig(
+        "wide_resnet50_2", "bottleneck", (3, 4, 6, 3), width_factor=2
+    ),
+    "wide_resnet101_2": ResNetConfig(
+        "wide_resnet101_2", "bottleneck", (3, 4, 23, 3), width_factor=2
+    ),
 }
 
 

@@ -57,13 +57,19 @@ class Bottleneck(nn.Module):
     # (cuda/inference/main.cu:18-46) and torchvision.
     expansion = 4
 
-    def __init__(self, cin: int, planes: int, stride: int = 1, downsample=None):
+    def __init__(
+        self, cin: int, planes: int, stride: int = 1, downsample=None,
+        width: int | None = None,
+    ):
         super().__init__()
-        self.conv1 = _conv1x1(cin, planes)
-        self.bn1 = nn.BatchNorm2d(planes)
-        self.conv2 = _conv3x3(planes, planes, stride)
-        self.bn2 = nn.BatchNorm2d(planes)
-        self.conv3 = _conv1x1(planes, planes * self.expansion)
+        # torchvision wide variants: the inner 1x1/3x3 width scales while
+        # the block output stays planes * expansion.
+        width = width or planes
+        self.conv1 = _conv1x1(cin, width)
+        self.bn1 = nn.BatchNorm2d(width)
+        self.conv2 = _conv3x3(width, width, stride)
+        self.bn2 = nn.BatchNorm2d(width)
+        self.conv3 = _conv1x1(width, planes * self.expansion)
         self.bn3 = nn.BatchNorm2d(planes * self.expansion)
         self.relu = nn.ReLU(inplace=True)
         self.downsample = downsample
@@ -110,9 +116,16 @@ class TorchResNet(nn.Module):
                 _conv1x1(self.inplanes, planes * block.expansion, stride),
                 nn.BatchNorm2d(planes * block.expansion),
             )
-        layers = [block(self.inplanes, planes, stride, downsample)]
+        kw = (
+            {"width": planes * self.cfg.width_factor}
+            if block is Bottleneck
+            else {}
+        )
+        layers = [block(self.inplanes, planes, stride, downsample, **kw)]
         self.inplanes = planes * block.expansion
-        layers += [block(self.inplanes, planes) for _ in range(1, n_blocks)]
+        layers += [
+            block(self.inplanes, planes, **kw) for _ in range(1, n_blocks)
+        ]
         return nn.Sequential(*layers)
 
     def forward(self, x):

@@ -84,7 +84,10 @@ def test_forward_train_updates_all_bn_stats():
     assert set(flatten_tree(new_state)) == set(flatten_tree(old_state))
 
 
-@pytest.mark.parametrize("name", ["resnet18", "resnet34", "resnet50", "resnet101"])
+@pytest.mark.parametrize(
+    "name",
+    ["resnet18", "resnet34", "resnet50", "resnet101", "wide_resnet50_2"],
+)
 def test_logit_parity_vs_torch_twin(name):
     """fp32 end-to-end parity on random weights + random input."""
     cfg = resnet.get_config(name)
@@ -135,3 +138,32 @@ def test_stage_parity_report():
     assert set(report) == {"stem", "layer1", "layer2", "layer3", "layer4", "logits"}
     for stage, stats in report.items():
         assert stats["mae"] < 1e-4, (stage, stats)
+
+
+def test_wide_resnet50_2_param_count_and_int8_chain():
+    """wide_resnet50_2: torchvision-exact parameter count (68.88M) and the
+    int8_chain megakernel pipeline accepts the non-4x inner widths
+    (c4 != 4c) end to end."""
+    cfg = resnet.get_config("wide_resnet50_2", num_classes=11)
+    full = resnet.get_config("wide_resnet50_2")
+    params, _ = resnet.split_params_state(resnet.init(full, jax.random.key(0)))
+    n = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))
+    assert n == 68_883_240  # torchvision wide_resnet50_2 trainable params
+
+    from resnetc_tpu.ops.pallas import fused
+
+    variables = resnet.init(cfg, jax.random.key(2))
+    folded = resnet.fold_inference_params(cfg, variables)
+    x = jnp.asarray(
+        np.random.default_rng(1).standard_normal((2, 64, 64, 3), dtype=np.float32)
+    )
+    ref = np.asarray(resnet.forward_folded(cfg, folded, x), np.float32)
+    s = fused.calibrate_chain_scales(cfg, folded, x, per_channel_interior=True)
+    q, srt = fused.bake_interior_scales(cfg, folded, s)
+    got = np.asarray(
+        fused.fused_forward_int8_chain(cfg, q, srt, x, interpret=True),
+        np.float32,
+    )
+    rel = np.mean(np.abs(got - ref)) / np.mean(np.abs(ref))
+    assert rel < 0.05, rel
+    assert (got.argmax(-1) == ref.argmax(-1)).all()
