@@ -741,6 +741,16 @@ def test_downsample_pair_dma_bitmatch(rng, h):
     assert jnp.array_equal(base, one), "onedot output diverged"
     both = downsample_block_s2_int8(*args, pair_dma=True, onedot=True, **kw)
     assert jnp.array_equal(base, both), "onedot+pair_dma output diverged"
+    # bf16-exit (emit_i8=False) branch of onedot must bit-match too.  The
+    # unwritten chain-ring rows of a bf16 output buffer are NaN in
+    # interpret mode (NaN != NaN breaks plain array_equal on BOTH sides),
+    # so compare with equal_nan — written rows are finite.
+    kw_bf = dict(kw, emit_i8=False)
+    base_bf = downsample_block_s2_int8(*args, **kw_bf)
+    one_bf = downsample_block_s2_int8(*args, onedot=True, **kw_bf)
+    assert jnp.array_equal(
+        base_bf, one_bf, equal_nan=True
+    ), "onedot bf16-exit diverged"
 
 
 def test_chained_int8_projection_shortcut(rng):
