@@ -50,10 +50,12 @@ class ResNetConfig:
     stage_blocks: tuple[int, int, int, int]
     num_classes: int = 1000
     stem_width: int = 64
-    #: torchvision wide_resnet*: the bottleneck's INNER width scales by
-    #: this factor (width_per_group 128 = factor 2) while stage outputs
-    #: (and the stem) stay at the standard 256/512/1024/2048.
-    width_factor: int = 1
+    #: torchvision's bottleneck width parameterization: inner width =
+    #: planes * width_per_group/64 * groups, stage outputs unchanged.
+    #: wide_resnet* = width_per_group 128; resnext* = groups 32 with a
+    #: small width_per_group.  groups applies to the bottleneck 3x3 only.
+    groups: int = 1
+    width_per_group: int = 64
 
     @property
     def expansion(self) -> int:
@@ -67,7 +69,11 @@ class ResNetConfig:
     def stage_channels(self, stage: int) -> tuple[int, int]:
         """(inter_channels, out_channels) for stage in [0, 4)."""
         base = self.stem_width * (2**stage)
-        return base * self.width_factor, base * self.expansion
+        if self.block == "bottleneck":
+            inter = base * self.width_per_group // 64 * self.groups
+        else:
+            inter = base
+        return inter, base * self.expansion
 
 
 RESNET_CONFIGS: dict[str, ResNetConfig] = {
@@ -78,14 +84,22 @@ RESNET_CONFIGS: dict[str, ResNetConfig] = {
     # The reference's one and only model: 3+8+36+3 bottleneck blocks
     # (main.cu:116-119).
     "resnet152": ResNetConfig("resnet152", "bottleneck", (3, 8, 36, 3)),
-    # Beyond the reference: torchvision's wide variants (width_per_group
-    # 128 — inner widths x2, stage outputs unchanged, state_dict keys and
-    # shapes torchvision-exact).
+    # Beyond the reference: torchvision's wide and grouped (ResNeXt)
+    # variants (state_dict keys, shapes, and parameter counts
+    # torchvision-exact).
     "wide_resnet50_2": ResNetConfig(
-        "wide_resnet50_2", "bottleneck", (3, 4, 6, 3), width_factor=2
+        "wide_resnet50_2", "bottleneck", (3, 4, 6, 3), width_per_group=128
     ),
     "wide_resnet101_2": ResNetConfig(
-        "wide_resnet101_2", "bottleneck", (3, 4, 23, 3), width_factor=2
+        "wide_resnet101_2", "bottleneck", (3, 4, 23, 3), width_per_group=128
+    ),
+    "resnext50_32x4d": ResNetConfig(
+        "resnext50_32x4d", "bottleneck", (3, 4, 6, 3),
+        groups=32, width_per_group=4,
+    ),
+    "resnext101_32x8d": ResNetConfig(
+        "resnext101_32x8d", "bottleneck", (3, 4, 23, 3),
+        groups=32, width_per_group=8,
     ),
 }
 
@@ -151,7 +165,8 @@ def init(
             if cfg.block == "bottleneck":
                 blk["conv1"] = conv(1, 1, in_c, inter)
                 blk["bn1"] = _bn_init(inter, dtype)
-                blk["conv2"] = conv(3, 3, inter, inter)
+                # Grouped 3x3 (ResNeXt): HWIO kernel carries cin/groups.
+                blk["conv2"] = conv(3, 3, inter // cfg.groups, inter)
                 blk["bn2"] = _bn_init(inter, dtype)
                 blk["conv3"] = conv(1, 1, inter, out_c)
                 blk["bn3"] = _bn_init(out_c, dtype)
@@ -251,9 +266,12 @@ def _bn(
     return out, {"running_mean": new_mean, "running_var": new_var}
 
 
-def _conv_bn_act(x, conv_vars, bn_vars, *, stride, padding, act, train, axis_name, policy):
+def _conv_bn_act(
+    x, conv_vars, bn_vars, *, stride, padding, act, train, axis_name, policy,
+    groups=1,
+):
     w = conv_vars["weight"].astype(policy.compute)
-    y = lax_ops.conv2d(x, w, stride=stride, padding=padding)
+    y = lax_ops.conv2d(x, w, stride=stride, padding=padding, groups=groups)
     y, new_stats = _bn(y, bn_vars, train=train, axis_name=axis_name)
     if act:
         y = lax_ops.relu(y)
@@ -269,10 +287,10 @@ def _block_forward(x, blk, cfg, stride, *, train, axis_name, policy):
     """
     new_state: dict[str, Any] = {}
 
-    def bn_step(name, y, conv_name, s, p, act):
+    def bn_step(name, y, conv_name, s, p, act, groups=1):
         y, stats = _conv_bn_act(
             y, blk[conv_name], blk[name], stride=s, padding=p, act=act,
-            train=train, axis_name=axis_name, policy=policy,
+            train=train, axis_name=axis_name, policy=policy, groups=groups,
         )
         if stats is not None:
             new_state[name] = stats
@@ -280,7 +298,7 @@ def _block_forward(x, blk, cfg, stride, *, train, axis_name, policy):
 
     if cfg.block == "bottleneck":
         y = bn_step("bn1", x, "conv1", 1, 0, True)
-        y = bn_step("bn2", y, "conv2", stride, 1, True)
+        y = bn_step("bn2", y, "conv2", stride, 1, True, groups=cfg.groups)
         y = bn_step("bn3", y, "conv3", 1, 0, False)
     else:
         y = bn_step("bn1", x, "conv1", stride, 1, True)
@@ -403,9 +421,9 @@ def fold_inference_params(cfg: ResNetConfig, variables: Pytree) -> Pytree:
     return out
 
 
-def _folded_conv(x, entry, *, stride, padding, act, policy):
+def _folded_conv(x, entry, *, stride, padding, act, policy, groups=1):
     w = entry["weight"].astype(policy.compute)
-    y = lax_ops.conv2d(x, w, stride=stride, padding=padding)
+    y = lax_ops.conv2d(x, w, stride=stride, padding=padding, groups=groups)
     y = y + entry["bias"].astype(y.dtype)
     return lax_ops.relu(y) if act else y
 
@@ -430,7 +448,10 @@ def forward_folded(
             blk_stride = stage_stride if b == 0 else 1
             if cfg.block == "bottleneck":
                 z = _folded_conv(y, blk["conv1"], stride=1, padding=0, act=True, policy=policy)
-                z = _folded_conv(z, blk["conv2"], stride=blk_stride, padding=1, act=True, policy=policy)
+                z = _folded_conv(
+                    z, blk["conv2"], stride=blk_stride, padding=1, act=True,
+                    policy=policy, groups=cfg.groups,
+                )
                 z = _folded_conv(z, blk["conv3"], stride=1, padding=0, act=False, policy=policy)
             else:
                 z = _folded_conv(y, blk["conv1"], stride=blk_stride, padding=1, act=True, policy=policy)

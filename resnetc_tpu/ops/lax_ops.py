@@ -45,6 +45,7 @@ def _conv_prim(
     stride: int,
     padding: int,
     accum_dtype: jnp.dtype | None,
+    groups: int = 1,
 ) -> jax.Array:
     # precision=HIGHEST: dtype policy owns precision (bf16 fast path = bf16
     # arrays); fp32 inputs must actually compute in fp32, not the silently
@@ -55,13 +56,14 @@ def _conv_prim(
         window_strides=(stride, stride),
         padding=((padding, padding), (padding, padding)),
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=groups,
         preferred_element_type=accum_dtype,
         precision=lax.Precision.HIGHEST,
     )
 
 
 @functools.lru_cache(maxsize=None)
-def _mixed_dtype_conv(stride: int, padding: int, accum_dtype):
+def _mixed_dtype_conv(stride: int, padding: int, accum_dtype, groups: int = 1):
     """Differentiable conv whose forward accumulates in ``accum_dtype`` while
     operands/outputs stay in the compute dtype (e.g. bf16).
 
@@ -71,7 +73,9 @@ def _mixed_dtype_conv(stride: int, padding: int, accum_dtype):
     the standard bf16-training recipe)."""
 
     def primal(x, w):
-        return _conv_prim(x, w, stride, padding, accum_dtype).astype(x.dtype)
+        return _conv_prim(
+            x, w, stride, padding, accum_dtype, groups
+        ).astype(x.dtype)
 
     @jax.custom_vjp
     def conv(x, w):
@@ -82,7 +86,9 @@ def _mixed_dtype_conv(stride: int, padding: int, accum_dtype):
 
     def bwd(res, g):
         x, w = res
-        _, vjp = jax.vjp(lambda a, b: _conv_prim(a, b, stride, padding, None), x, w)
+        _, vjp = jax.vjp(
+            lambda a, b: _conv_prim(a, b, stride, padding, None, groups), x, w
+        )
         return vjp(g.astype(x.dtype))
 
     conv.defvjp(fwd, bwd)
@@ -96,16 +102,18 @@ def conv2d(
     stride: int = 1,
     padding: int = 0,
     accum_dtype: jnp.dtype = jnp.float32,
+    groups: int = 1,
 ) -> jax.Array:
     """2-D convolution, NHWC x HWIO -> NHWC, zero-padded, bias-free.
 
     Accumulates in ``accum_dtype`` (fp32 by default) regardless of the input
     compute dtype, then casts back — the bf16-with-fp32-accumulate contract
-    the MXU expects.
+    the MXU expects.  ``groups`` is XLA's feature_group_count (ResNeXt's
+    grouped 3x3; kernel shape (kh, kw, cin/groups, cout)).
     """
     if x.dtype == jnp.dtype(accum_dtype):
-        return _conv_prim(x, w, stride, padding, accum_dtype)
-    return _mixed_dtype_conv(stride, padding, jnp.dtype(accum_dtype))(x, w)
+        return _conv_prim(x, w, stride, padding, accum_dtype, groups)
+    return _mixed_dtype_conv(stride, padding, jnp.dtype(accum_dtype), groups)(x, w)
 
 
 def max_pool2d(x: jax.Array, *, kernel_size: int, stride: int, padding: int) -> jax.Array:

@@ -400,6 +400,10 @@ def calibrate_chain_scales(
     scales ("in", which feed the identity-residual adds) stay scalar.
     """
     assert method in ("absmax", "percentile", "mse"), method
+    assert cfg.groups == 1, (
+        "int8 chain serving does not support grouped convolutions "
+        "(ResNeXt); use the xla backend"
+    )
     scales: dict = {}
 
     def mse_clip(a: jax.Array) -> jax.Array:
@@ -508,6 +512,10 @@ def quantize_chain(cfg: ResNetConfig, folded: Pytree) -> Pytree:
     kernel.  Basic (ResNet-18/34): stride-1 blocks for the basic chain
     kernel; the stride-2 transition blocks keep their folded fp entries
     (served bf16 by XLA between chains)."""
+    assert cfg.groups == 1, (
+        "int8 chain serving does not support grouped convolutions "
+        "(ResNeXt); use the xla backend"
+    )
     from resnetc_tpu.ops.pallas.block import quantize_chain_block, quantize_ds_block
 
     out = {k: v for k, v in folded.items() if not k.startswith("layer")}

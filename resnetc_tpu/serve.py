@@ -60,6 +60,12 @@ class InferenceEngine:
         backends = ("xla", "pallas", "pallas_block", "int8", "int8_chain")
         if backend not in backends:
             raise ValueError(f"backend must be one of {backends}, got {backend!r}")
+        if backend != "xla" and getattr(model_cfg, "groups", 1) > 1:
+            raise ValueError(
+                f"backend {backend!r} does not support grouped convolutions "
+                f"(ResNeXt, groups={model_cfg.groups}); serve grouped models "
+                "with backend='xla'"
+            )
         if backend in ("pallas", "pallas_block"):
             import warnings
 

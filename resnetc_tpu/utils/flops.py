@@ -36,7 +36,9 @@ def model_flops(cfg: ResNetConfig, image_size: int = 224) -> int:
             s = stride if b == 0 else 1
             if cfg.block == "bottleneck":
                 conv(h, in_c, inter, 1, 1, 0)
-                h_new = conv(h, inter, inter, 3, s, 1)
+                # Grouped 3x3 (ResNeXt): each output channel contracts only
+                # cin/groups inputs.
+                h_new = conv(h, inter // cfg.groups, inter, 3, s, 1)
                 conv(h_new, inter, out_c, 1, 1, 0)
             else:
                 h_new = conv(h, in_c, inter, 3, s, 1)

@@ -23,8 +23,10 @@ import torch.nn as nn
 from resnetc_tpu.models.resnet import ResNetConfig
 
 
-def _conv3x3(cin: int, cout: int, stride: int = 1) -> nn.Conv2d:
-    return nn.Conv2d(cin, cout, 3, stride=stride, padding=1, bias=False)
+def _conv3x3(cin: int, cout: int, stride: int = 1, groups: int = 1) -> nn.Conv2d:
+    return nn.Conv2d(
+        cin, cout, 3, stride=stride, padding=1, groups=groups, bias=False
+    )
 
 
 def _conv1x1(cin: int, cout: int, stride: int = 1) -> nn.Conv2d:
@@ -59,15 +61,16 @@ class Bottleneck(nn.Module):
 
     def __init__(
         self, cin: int, planes: int, stride: int = 1, downsample=None,
-        width: int | None = None,
+        width: int | None = None, groups: int = 1,
     ):
         super().__init__()
-        # torchvision wide variants: the inner 1x1/3x3 width scales while
-        # the block output stays planes * expansion.
+        # torchvision wide/ResNeXt variants: the inner 1x1/3x3 width scales
+        # (and the 3x3 may be grouped) while the block output stays
+        # planes * expansion.
         width = width or planes
         self.conv1 = _conv1x1(cin, width)
         self.bn1 = nn.BatchNorm2d(width)
-        self.conv2 = _conv3x3(width, width, stride)
+        self.conv2 = _conv3x3(width, width, stride, groups)
         self.bn2 = nn.BatchNorm2d(width)
         self.conv3 = _conv1x1(width, planes * self.expansion)
         self.bn3 = nn.BatchNorm2d(planes * self.expansion)
@@ -117,7 +120,11 @@ class TorchResNet(nn.Module):
                 nn.BatchNorm2d(planes * block.expansion),
             )
         kw = (
-            {"width": planes * self.cfg.width_factor}
+            {
+                "width": planes * self.cfg.width_per_group // 64
+                * self.cfg.groups,
+                "groups": self.cfg.groups,
+            }
             if block is Bottleneck
             else {}
         )

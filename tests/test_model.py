@@ -167,3 +167,49 @@ def test_wide_resnet50_2_param_count_and_int8_chain():
     rel = np.mean(np.abs(got - ref)) / np.mean(np.abs(ref))
     assert rel < 0.05, rel
     assert (got.argmax(-1) == ref.argmax(-1)).all()
+
+
+def test_resnext50_32x4d_parity_and_backend_guard():
+    """resnext50_32x4d: torchvision-exact params (25.03M), fp32 twin parity
+    through the grouped 3x3 (train and folded paths), and the non-XLA
+    serving backends must reject grouped configs with guidance."""
+    full = resnet.get_config("resnext50_32x4d")
+    params, _ = resnet.split_params_state(
+        jax.eval_shape(lambda: resnet.init(full, jax.random.key(0)))
+    )
+    n = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))
+    assert n == 25_028_904  # torchvision resnext50_32x4d trainable params
+
+    cfg = resnet.get_config("resnext50_32x4d", num_classes=11)
+    twin = build_twin(cfg, seed=1)
+    twin.eval()
+    x = np.random.default_rng(0).standard_normal((2, 3, 64, 64), dtype=np.float32)
+    report = logit_report(cfg, twin, x, policy=FP32)
+    assert report.argmax_match and report.mae <= LOGIT_MAE_GATE, report
+
+    from resnetc_tpu.serve import InferenceEngine
+
+    with pytest.raises(ValueError, match="grouped"):
+        InferenceEngine(
+            cfg, resnet.init(cfg, jax.random.key(0)), backend="int8_chain"
+        )
+
+
+def test_resnext_train_step_runs_and_learns():
+    """Grad flow through the grouped conv's mixed-dtype custom-vjp: two
+    train steps must run and change the conv2 weights."""
+    from resnetc_tpu import train
+
+    cfg = resnet.get_config("resnext50_32x4d", num_classes=5)
+    tcfg = train.TrainConfig(lr=0.1, policy_name="bf16")
+    ts = train.init_train_state(cfg, jax.random.key(0))
+    x = jnp.asarray(
+        np.random.default_rng(0).standard_normal((2, 32, 32, 3), dtype=np.float32)
+    )
+    y = jnp.asarray(np.array([0, 1], np.int32))
+    w0 = np.asarray(ts.params["layer1"]["0"]["conv2"]["weight"])
+    for _ in range(2):
+        ts, m = train.train_step(cfg, tcfg, ts, x, y, jnp.float32(0.1))
+    assert np.isfinite(float(m["loss"]))
+    w2 = np.asarray(ts.params["layer1"]["0"]["conv2"]["weight"])
+    assert not np.array_equal(w0, w2), "grouped conv2 got no gradient"
