@@ -52,7 +52,12 @@ from resnetc_tpu.utils.flops import model_flops
 # judged against the peak of the engine that actually ran; the int8 engines
 # must not be flattered by dividing by the smaller bf16 peak.
 PEAK_FLOPS = {"tpu": {"bf16": 197e12, "int8": 394e12}}
-INT8_BACKENDS = {"int8", "int8_chain"}
+#: Backends whose conv FLOPs ALL run on the int8 MXU path.  The plain
+#: "int8" backend is mixed (1x1s int8, 3x3/stem bf16 — see
+#: fused_forward_int8) and is judged conservatively against the bf16 peak
+#: with an explicit mixed label.
+INT8_BACKENDS = {"int8_chain"}
+MIXED_INT8_BACKENDS = {"int8"}
 ROOFLINE_FRACTION = 0.8  # the BASELINE.json target (against the bf16 roofline)
 
 
@@ -139,15 +144,22 @@ def main() -> None:
 
     flops = model_flops(cfg, image_size)
     peaks = PEAK_FLOPS.get(platform)
-    precision = "int8" if best_backend in INT8_BACKENDS else "bf16"
+    if best_backend in INT8_BACKENDS:
+        precision, peak_key = "int8", "int8"
+    elif best_backend in MIXED_INT8_BACKENDS:
+        precision, peak_key = "mixed-int8/bf16", "bf16"
+    else:
+        precision, peak_key = "bf16", "bf16"
     # Utilization against the precision the winning engine actually computes
     # in; vs_baseline stays defined against the bf16 roofline (the driver's
     # north-star target) regardless of which engine wins.
-    mxu_util = best_ips * flops / peaks[precision] if peaks else None
+    mxu_util = best_ips * flops / peaks[peak_key] if peaks else None
     target = (peaks["bf16"] * ROOFLINE_FRACTION / flops) if peaks else None
     bf16_candidates = [
         b for b in backends
-        if b not in INT8_BACKENDS and per_backend[b] is not None
+        if b not in INT8_BACKENDS
+        and b not in MIXED_INT8_BACKENDS
+        and per_backend[b] is not None
     ]
     bf16_ips = (
         max(per_backend[b] for b in bf16_candidates) if bf16_candidates else None

@@ -94,6 +94,21 @@ def add_run_args(p: argparse.ArgumentParser) -> None:
 
 
 def run_config_from_args(args: argparse.Namespace) -> RunConfig:
+    multihost = bool(
+        getattr(args, "multihost", False)
+        or getattr(args, "coordinator", None) is not None
+    )
+    if not multihost and (
+        getattr(args, "num_processes", None) is not None
+        or getattr(args, "process_id", None) is not None
+    ):
+        # Silently dropping these would leave every worker training the
+        # full global batch independently with no all-reduce — the exact
+        # looks-distributed-but-isn't failure the serving commands guard.
+        raise SystemExit(
+            "--num-processes/--process-id require --multihost (TPU pod "
+            "auto-detect) or --coordinator host:port"
+        )
     return RunConfig(
         model=args.model,
         num_classes=args.num_classes,
@@ -107,11 +122,7 @@ def run_config_from_args(args: argparse.Namespace) -> RunConfig:
         calib_method=args.calib_method,
         calib_per_channel=getattr(args, "calib_per_channel", True),
         seed=args.seed,
-        multihost=bool(
-            getattr(args, "multihost", False) or args.coordinator is not None
-        )
-        if hasattr(args, "coordinator")
-        else False,
+        multihost=multihost,
         coordinator=getattr(args, "coordinator", None),
         num_processes=getattr(args, "num_processes", None),
         process_id=getattr(args, "process_id", None),

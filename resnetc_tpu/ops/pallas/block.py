@@ -2246,12 +2246,15 @@ def _pick_bt_ds_s2(b: int, hq: int, wq: int, cin: int, c: int, c4: int) -> int:
             + weights
         )
 
-    # Only take the measured hit when it also fits the budget: at larger
-    # spatial inputs (--image-size > 224 grows L4ds rows) the forced bt=8
-    # working set would blow the Mosaic VMEM cap and fail compile instead
-    # of degrading to a smaller bt.
+    # Take the measured hit when it fits the COMPILE-SAFETY bound, not the
+    # 9MB perf-walk heuristic: the hit was measured at the production 224px
+    # L4ds geometry (hq=wq=8, work(8) ≈ 13.9MB — above the walk budget,
+    # compiles and wins -6%).  The guard only needs to reject genuinely
+    # cap-threatening working sets (image-size ≥ ~448 grows work(8) past
+    # 90MB against the kernel's 100MB vmem_limit_bytes).
+    hit_cap = 40 * 2**20
     hit = {512: 8}.get(c)
-    if hit is not None and b % hit == 0 and work(hit) <= budget:
+    if hit is not None and b % hit == 0 and work(hit) <= hit_cap:
         return hit
     best = 1
     for bt in range(1, b + 1):

@@ -1538,16 +1538,19 @@ def test_fused_forward_int8_chain_resnet34_close_to_fp(rng):
 
 
 def test_pick_bt_ds_s2_measured_hit_respects_vmem_budget():
-    """The c=512 measured-table hit (bt=8) must only be taken when its
-    working set fits the VMEM budget; at larger spatial geometry the picker
-    must degrade to a smaller bt instead of forcing a no-compile bt=8
-    (ADVICE r3 medium)."""
-    from resnetc_tpu.ops.pallas.block import _pick_bt_ds_s2
+    """The c=512 measured-table hit (bt=8) must be taken at the REAL
+    production 224px L4ds geometry (hq=wq=8 — chain_meta pads 14 -> 16;
+    its ~13.9MB working set is above the 9MB perf-walk budget but far
+    under the 100MB compile cap and was the measured -6% winner), and must
+    fall through at cap-threatening geometry (image-size ≥ ~448) instead
+    of forcing a no-compile bt=8 (ADVICE r3 medium + r4 review)."""
+    from resnetc_tpu.ops.pallas.block import _pick_bt_ds_s2, chain_meta
 
-    # Production L4ds geometry: the hit applies.
-    assert _pick_bt_ds_s2(256, 4, 4, 1024, 512, 2048) == 8
-    # 4x the spatial rows (image-size 448-class input): bt=8's working set
-    # exceeds the budget -> must fall through to the walk, never return 8.
+    hp, wp = chain_meta(0, 14, 14)  # the 224px L4ds input stage
+    assert (hp // 2, wp // 2) == (8, 8)
+    assert _pick_bt_ds_s2(256, 8, 8, 1024, 512, 2048) == 8
+    # 448-class input: bt=8's working set approaches the Mosaic cap ->
+    # must fall through to the walk, never return 8.
     big = _pick_bt_ds_s2(256, 28, 28, 1024, 512, 2048)
     assert big < 8 and 256 % big == 0
 

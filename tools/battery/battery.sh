@@ -20,8 +20,10 @@ log "ds-kernel phase attribution"
 timeout 4800 python tools/probe_ds_phases.py --shape all
 log "ds gather DMA pattern A/B"
 timeout 3600 python tools/probe_ds_dma.py
-log "ds pair_dma kernel A/B (isolated + e2e)"
-timeout 4800 python /root/repo/tools/battery/ds_pair_ab.py
+# ds_pair_ab leg removed (r4 review): its isolated sweep is a strict
+# subset of ds_onedot_ab's pair x onedot matrix, and the e2e pair A/B is
+# covered by auto_best + the verify_tpu pair bit-match gate.  The script
+# stays available for manual runs.
 log "ds conv3-onedot kernel A/B (isolated 2x2 + e2e)"
 timeout 4800 python /root/repo/tools/battery/ds_onedot_ab.py
 log "int8 calibration A/B (absmax vs percentile, real-fixture mix)"
@@ -37,9 +39,15 @@ log "gemm autotune"
 timeout 5400 python tools/autotune_gemm.py
 log "preserve artifacts in-repo (unattended run must survive /tmp wipes)"
 cp /tmp/bench_r4.json /root/repo/BENCH_battery_r04.json 2>/dev/null || true
+# /tmp/battery.log exists only under watch_and_fire's redirect and is
+# still being appended — the copy misses these trailing lines only.
 cp /tmp/battery.log /root/repo/BATTERY_r04.log 2>/dev/null || true
+# git add per file: a single multi-path add is all-or-nothing (one missing
+# pathspec stages NOTHING and exits 128 — r4 review finding).
 (cd /root/repo \
- && git add BATTERY_r04.log BENCH_battery_r04.json VERIFY_TPU.json 2>/dev/null \
+ && { for f in BATTERY_r04.log BENCH_battery_r04.json VERIFY_TPU.json; do
+        git add "$f" 2>/dev/null || true
+      done; } \
  && git commit -q -m "Battery r04: on-chip measurement artifacts (unattended)" \
  || true)
 log "battery ALL done"
