@@ -29,11 +29,23 @@ samples — the engine-local p50 a local-process server would see per request.
 Runs on whatever jax.devices() offers; on a CPU host it shrinks the workload
 so the pipeline is still exercised end-to-end (numbers are then not
 meaningful and the JSON says so via "platform").
+
+On TPU the bench additionally SELF-TUNES the int8_chain backend
+(``greedy_tune``): the round-3/4 kernel variants live behind default-off
+fused.py flags pending on-chip validation, and the chip window may open only
+for this very run — so the bench greedily A/Bs each armed flag on the spot,
+accepts a flag only if it wins by >1% AND passes an argmax/rel-MAE parity
+gate against the default engine's logits, and reports the tuned config as a
+separate ``int8_chain_tuned`` backend entry (eligible for the headline).
+Everything is budgeted (RESNETC_BENCH_TUNE_BUDGET_S, default 900 s) and
+failure-isolated: a flag that fails to compile is reverted and recorded, and
+RESNETC_BENCH_TUNE=0 disables the whole phase.
 """
 
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
@@ -56,9 +68,90 @@ PEAK_FLOPS = {"tpu": {"bf16": 197e12, "int8": 394e12}}
 #: "int8" backend is mixed (1x1s int8, 3x3/stem bf16 — see
 #: fused_forward_int8) and is judged conservatively against the bf16 peak
 #: with an explicit mixed label.
-INT8_BACKENDS = {"int8_chain"}
+INT8_BACKENDS = {"int8_chain", "int8_chain_tuned"}
 MIXED_INT8_BACKENDS = {"int8"}
 ROOFLINE_FRACTION = 0.8  # the BASELINE.json target (against the bf16 roofline)
+
+#: Armed default-off fused.py flag candidates, in expected-impact order (the
+#: same greedy order as tools/battery/auto_best.py).  BASIC_DS_INT8 is
+#: omitted: it only affects the basic (resnet18/34) family, not the
+#: resnet50 headline.
+TUNE_CANDIDATES = [
+    ("STAGE_FUSE_PROJ", True),
+    ("DS_CONV3_ONEDOT", True),
+    ("DS_PAIR_DMA", True),
+    ("STEM_CIN_PAD", 4),
+]
+
+
+def greedy_tune(
+    target,
+    candidates,
+    measure,
+    parity,
+    *,
+    budget_s: float,
+    min_win: float = 0.01,
+    now=time.perf_counter,
+    log=lambda s: print(s, file=sys.stderr),
+):
+    """Greedy on-the-spot flag search with parity gating and a time budget.
+
+    ``target`` is the module/object holding the flags; ``candidates`` is an
+    ordered list of (attr_name, trial_value).  ``measure()`` returns
+    seconds/iter under the CURRENT flag settings; ``parity()`` returns
+    (ok, info_dict) comparing the current config's outputs to the default
+    config's.  A candidate is accepted only when it beats the best-so-far by
+    ``min_win`` AND passes parity; accepted flags STAY SET on ``target``
+    when this returns (so the caller's subsequent traces use them), rejected
+    or failed ones are restored.  Candidates past the budget are skipped and
+    recorded as such.  Returns (accepted, base_sec, best_sec, records).
+    """
+    defaults = {k: getattr(target, k) for k, _ in candidates}
+    accepted: dict = {}
+    records: list[dict] = []
+    start = now()
+    try:
+        base = measure()
+    except Exception as e:  # baseline must exist before any A/B
+        log(f"tune: baseline measure failed: {type(e).__name__}: {e}")
+        return {}, None, None, [{"flag": "<baseline>", "status": "fail",
+                                 "error": f"{type(e).__name__}: {e}"}]
+    best = base
+    for name, value in candidates:
+        if now() - start > budget_s:
+            records.append({"flag": name, "status": "skipped-budget"})
+            continue
+        try:
+            setattr(target, name, value)
+            sec = measure()
+            rec = {"flag": name, "value": value, "ms": round(sec * 1e3, 3)}
+            if sec < best * (1.0 - min_win):
+                ok, info = parity()
+                rec["parity"] = info
+                if ok:
+                    rec["status"] = "accepted"
+                    accepted[name] = value
+                    best = sec
+                else:
+                    rec["status"] = "parity-fail"
+                    setattr(target, name, defaults[name])
+            else:
+                rec["status"] = "rejected"
+                setattr(target, name, defaults[name])
+            records.append(rec)
+            log(f"tune: {name}={value}: {rec['ms']} ms [{rec['status']}]")
+        except Exception as e:  # a broken candidate must not kill the bench
+            setattr(target, name, defaults[name])
+            records.append({"flag": name, "status": "fail",
+                            "error": f"{type(e).__name__}: {e}"})
+            log(f"tune: {name}={value}: FAIL {type(e).__name__}: {e}")
+    # Restore every non-accepted flag (accepted ones stay live for the
+    # caller's re-measure / latency traces).
+    for k, v in defaults.items():
+        if k not in accepted:
+            setattr(target, k, v)
+    return accepted, base, best, records
 
 
 def main() -> None:
@@ -109,6 +202,63 @@ def main() -> None:
             print(f"bench: backend {b} failed: {type(e).__name__}: {e}", file=sys.stderr)
             per_backend[b] = None
 
+    # --- On-the-spot flag tuning (TPU only; see module docstring). -------
+    from resnetc_tpu.utils.timing import chained_seconds_per_iter
+
+    tuning = None
+    if (
+        on_tpu
+        and engines.get("int8_chain") is not None
+        and os.environ.get("RESNETC_BENCH_TUNE", "1") != "0"
+    ):
+        from resnetc_tpu.ops.pallas import fused
+
+        eng = engines["int8_chain"]
+        # Default-config logits are the parity reference: every armed flag is
+        # bit-match pinned vs flag-off in interpret mode, so on-chip logits
+        # must agree up to accumulation-order noise.
+        ref = np.asarray(jax.device_get(eng.logits(images)).astype(jnp.float32))
+        ref_arg = np.argmax(ref, axis=-1)
+
+        def _chain_call(x):
+            return fused.fused_forward_int8_chain(
+                cfg, eng.folded, eng._chain_scales, x
+            )
+
+        def measure():
+            return chained_seconds_per_iter(_chain_call, images, iters=16)
+
+        def parity():
+            lg = np.asarray(
+                jax.device_get(jax.jit(_chain_call)(images)).astype(jnp.float32)
+            )
+            am = float(np.mean(np.argmax(lg, axis=-1) == ref_arg))
+            rel = float(
+                np.mean(np.abs(lg - ref)) / (np.mean(np.abs(ref)) + 1e-12)
+            )
+            return (am >= 0.995 and rel <= 0.05), {
+                "argmax_match": round(am, 4),
+                "rel_mae": round(rel, 5),
+            }
+
+        accepted, _, _, records = greedy_tune(
+            fused,
+            TUNE_CANDIDATES,
+            measure,
+            parity,
+            budget_s=float(os.environ.get("RESNETC_BENCH_TUNE_BUDGET_S", "900")),
+        )
+        tuning = {"accepted_flags": accepted, "candidates": records}
+        if accepted:
+            # Accepted flags are still set: clear the engine's per-shape
+            # compile cache so throughput/latency re-trace under them, and
+            # report the tuned config as its own headline-eligible entry.
+            eng._compiled.clear()
+            tp = bench_throughput(eng, images, steps=steps)
+            per_backend["int8_chain_tuned"] = round(tp.images_per_sec, 2)
+            backends = backends + ["int8_chain_tuned"]
+            engines["int8_chain_tuned"] = eng
+
     best_backend = max(
         (b for b in backends if per_backend[b] is not None),
         key=lambda b: per_backend[b],
@@ -117,8 +267,6 @@ def main() -> None:
 
     # Latency: RTT-inclusive round trips (what a remote frontend waits for)
     # plus device-only marginal cost (what the engine itself costs).
-    from resnetc_tpu.utils.timing import chained_seconds_per_iter
-
     lat_engine = engines[best_backend]
     lat = bench_latency(
         lat_engine,
@@ -219,6 +367,9 @@ def main() -> None:
         "local_p50_ms": round(local_lat.p50_ms, 3),
         "gflops_per_image": round(flops / 1e9, 2),
         "train_images_per_sec": round(train_ips, 2),
+        # On-the-spot flag tuning record (None off-TPU / when disabled):
+        # which armed fused.py flags won their A/B + parity gate this run.
+        "tuning": tuning,
     }
     print(json.dumps(result))
 

@@ -1,0 +1,136 @@
+"""Unit tests for bench.greedy_tune — the bench's on-the-spot flag search.
+
+The on-chip tuning phase itself only runs on TPU (it A/Bs Mosaic kernels);
+what must be correct REGARDLESS of hardware is the decision logic: accept
+only on >1% win + parity pass, revert on reject/parity-fail/exception, skip
+past the budget, and leave accepted flags SET (and everything else restored)
+when it returns.  Scripted measure/parity functions exercise every branch.
+"""
+
+from __future__ import annotations
+
+import sys
+import types
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+import bench  # noqa: E402
+
+
+def scripted(values):
+    """measure() stub: returns (or raises) the next scripted value."""
+    it = iter(values)
+
+    def fn():
+        v = next(it)
+        if isinstance(v, Exception):
+            raise v
+        return v
+
+    return fn
+
+
+def flags(**kw):
+    return types.SimpleNamespace(**kw)
+
+
+def quiet(_msg):
+    pass
+
+
+def test_accepts_winner_and_keeps_it_set():
+    t = flags(A=False, B=False)
+    # baseline 10s; A wins (8s, parity ok); B loses vs new best (8.5s).
+    accepted, base, best, recs = bench.greedy_tune(
+        t,
+        [("A", True), ("B", True)],
+        scripted([10.0, 8.0, 8.5]),
+        lambda: (True, {"argmax_match": 1.0}),
+        budget_s=1e9,
+        log=quiet,
+    )
+    assert accepted == {"A": True}
+    assert (base, best) == (10.0, 8.0)
+    assert t.A is True  # accepted flag stays live for the caller's re-trace
+    assert t.B is False  # rejected flag restored
+    assert [r["status"] for r in recs] == ["accepted", "rejected"]
+
+
+def test_marginal_win_below_threshold_is_rejected():
+    t = flags(A=False)
+    # 9.95 vs 10.0 is <1% — must not accept.
+    accepted, _, best, recs = bench.greedy_tune(
+        t, [("A", True)], scripted([10.0, 9.95]),
+        lambda: (True, {}), budget_s=1e9, log=quiet,
+    )
+    assert accepted == {} and best == 10.0 and t.A is False
+    assert recs[0]["status"] == "rejected"
+
+
+def test_parity_failure_reverts_even_on_speed_win():
+    t = flags(A=False)
+    accepted, _, best, recs = bench.greedy_tune(
+        t, [("A", True)], scripted([10.0, 5.0]),
+        lambda: (False, {"argmax_match": 0.5}), budget_s=1e9, log=quiet,
+    )
+    assert accepted == {} and best == 10.0 and t.A is False
+    assert recs[0]["status"] == "parity-fail"
+    assert recs[0]["parity"] == {"argmax_match": 0.5}
+
+
+def test_candidate_exception_is_isolated_and_reverted():
+    t = flags(A=False, B=False)
+    # A's measure blows up (e.g. Mosaic compile failure); B still runs + wins.
+    accepted, _, best, recs = bench.greedy_tune(
+        t,
+        [("A", True), ("B", True)],
+        scripted([10.0, RuntimeError("mosaic"), 7.0]),
+        lambda: (True, {}),
+        budget_s=1e9,
+        log=quiet,
+    )
+    assert t.A is False and t.B is True
+    assert accepted == {"B": True} and best == 7.0
+    assert recs[0]["status"] == "fail" and "mosaic" in recs[0]["error"]
+
+
+def test_budget_exhaustion_skips_remaining_candidates():
+    t = flags(A=False, B=False)
+    clock = iter([0.0, 100.0, 2000.0])  # start, A's check (in), B's (out)
+    accepted, _, best, recs = bench.greedy_tune(
+        t,
+        [("A", True), ("B", True)],
+        scripted([10.0, 9.0]),
+        lambda: (True, {}),
+        budget_s=1000.0,
+        now=lambda: next(clock),
+        log=quiet,
+    )
+    assert accepted == {"A": True} and t.A is True
+    assert recs[1] == {"flag": "B", "status": "skipped-budget"}
+    assert t.B is False
+
+
+def test_baseline_failure_returns_empty_and_touches_nothing():
+    t = flags(A=False)
+    accepted, base, best, recs = bench.greedy_tune(
+        t, [("A", True)], scripted([RuntimeError("dead chip")]),
+        lambda: (True, {}), budget_s=1e9, log=quiet,
+    )
+    assert accepted == {} and base is None and best is None
+    assert t.A is False
+    assert recs[0]["status"] == "fail"
+
+
+def test_tune_candidates_exist_on_fused_module():
+    """Every armed candidate must name a real fused.py flag (a rename would
+    otherwise silently no-op the one unattended chip window)."""
+    from resnetc_tpu.ops.pallas import fused
+
+    for name, value in bench.TUNE_CANDIDATES:
+        assert hasattr(fused, name), name
+        default = getattr(fused, name)
+        assert value != default, (
+            f"candidate {name}={value} equals the default — dead A/B"
+        )
