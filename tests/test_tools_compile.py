@@ -33,6 +33,7 @@ def test_battery_script_legs_exist():
     sh = (REPO / "tools/battery/battery.sh").read_text()
     missing = []
     for tok in sh.split():
+        tok = tok.strip("()'\",;:")
         if tok.endswith(".py"):
             p = Path(tok)
             if not p.is_absolute():

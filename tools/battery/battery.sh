@@ -1,17 +1,41 @@
 #!/bin/bash
 # Round-4 TPU battery (canonical copy: /root/repo/tools/battery/battery.sh): runs unattended the moment the chip is back.
-# Order: most-important artifacts first in case the machine flakes mid-run.
+# Order: most-important artifacts first in case the machine flakes mid-run —
+# health probe, then the OFFICIAL self-tuning bench (bench.py now A/Bs the
+# armed flags itself, parity-gated), then the on-chip Mosaic gate, then
+# attribution/sweep legs.  Artifacts are preserved by an EXIT trap, so a
+# mid-run tunnel death still commits whatever was measured.
 export JAX_COMPILATION_CACHE_DIR=/root/.jax_cache
 cd /root/repo
 log() { echo "=== $1 ($(date)) ==="; }
+
+preserve() {
+  log "preserve artifacts in-repo (EXIT trap: runs even on mid-battery death)"
+  cp /tmp/bench_r4.json /root/repo/BENCH_battery_r04.json 2>/dev/null || true
+  # /tmp/battery.log exists only under watch_and_fire's redirect and is
+  # still being appended — the copy misses these trailing lines only.
+  cp /tmp/battery.log /root/repo/BATTERY_r04.log 2>/dev/null || true
+  # git add per file: a single multi-path add is all-or-nothing (one missing
+  # pathspec stages NOTHING and exits 128 — r4 review finding).
+  (cd /root/repo \
+   && { for f in BATTERY_r04.log BENCH_battery_r04.json VERIFY_TPU.json; do
+          git add "$f" 2>/dev/null || true
+        done; } \
+   && git commit -q -m "Battery r04: on-chip measurement artifacts (unattended)" \
+   || true)
+}
+trap preserve EXIT
+
 log "health"
 timeout 1200 python /root/repo/tools/battery/health.py
-log "A/B whole-stage L1 + bt sweep"
-timeout 4800 python /root/repo/tools/battery/ab_stage.py
+log "official self-tuning bench (the headline artifact; parity-gated flag A/B inside)"
+RESNETC_BENCH_TUNE_BUDGET_S=1800 timeout 5400 python bench.py | tee /tmp/bench_r4.json
+preserve
 log "on-chip Mosaic parity gate"
 timeout 5400 python tools/verify_tpu.py
-log "official bench (safe default flags)"
-timeout 5400 python bench.py | tee /tmp/bench_r4.json
+preserve
+log "A/B whole-stage L1 + bt sweep"
+timeout 4800 python /root/repo/tools/battery/ab_stage.py
 log "stem cin-pad + precision experiments"
 timeout 2400 python /root/repo/tools/battery/stem_pad.py
 log "flag e2e sweeps (stem cin-pad / basic-ds / run-fuse)"
@@ -28,7 +52,7 @@ log "ds conv3-onedot kernel A/B (isolated 2x2 + e2e)"
 timeout 4800 python /root/repo/tools/battery/ds_onedot_ab.py
 log "int8 calibration A/B (absmax vs percentile, real-fixture mix)"
 timeout 3600 python /root/repo/tools/battery/calib_ab.py
-log "greedy best-config search (unattended answer)"
+log "greedy best-config search (independent confirmation of the bench tune)"
 timeout 4800 python /root/repo/tools/battery/auto_best.py
 log "train batch-size sweep"
 timeout 2400 python tools/profile_train.py --batch 384 --iters 6
@@ -37,17 +61,4 @@ log "train backward attribution"
 timeout 3600 python tools/probe_train_bwd.py
 log "gemm autotune"
 timeout 5400 python tools/autotune_gemm.py
-log "preserve artifacts in-repo (unattended run must survive /tmp wipes)"
-cp /tmp/bench_r4.json /root/repo/BENCH_battery_r04.json 2>/dev/null || true
-# /tmp/battery.log exists only under watch_and_fire's redirect and is
-# still being appended — the copy misses these trailing lines only.
-cp /tmp/battery.log /root/repo/BATTERY_r04.log 2>/dev/null || true
-# git add per file: a single multi-path add is all-or-nothing (one missing
-# pathspec stages NOTHING and exits 128 — r4 review finding).
-(cd /root/repo \
- && { for f in BATTERY_r04.log BENCH_battery_r04.json VERIFY_TPU.json; do
-        git add "$f" 2>/dev/null || true
-      done; } \
- && git commit -q -m "Battery r04: on-chip measurement artifacts (unattended)" \
- || true)
 log "battery ALL done"
