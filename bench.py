@@ -155,6 +155,14 @@ def greedy_tune(
 
 
 def main() -> None:
+    # Persistent compile cache: the tuning phase re-traces the full network
+    # per flag candidate, and the battery may already have compiled the same
+    # programs — share one on-disk cache regardless of the caller's env.
+    if "JAX_COMPILATION_CACHE_DIR" not in os.environ:
+        try:
+            jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+        except Exception:
+            pass  # older jax or read-only fs: cache is an optimization only
     platform = jax.devices()[0].platform
     on_tpu = platform == "tpu"
 
