@@ -119,6 +119,11 @@ def greedy_tune(
                                  "error": f"{type(e).__name__}: {e}"}]
     best = base
     for name, value in candidates:
+        if getattr(target, name) == value:
+            # Already the live default (e.g. TUNED.json flipped it) — an
+            # A/B against itself would waste a full-network compile.
+            records.append({"flag": name, "status": "already-default"})
+            continue
         if now() - start > budget_s:
             records.append({"flag": name, "status": "skipped-budget"})
             continue
@@ -256,7 +261,12 @@ def main() -> None:
             parity,
             budget_s=float(os.environ.get("RESNETC_BENCH_TUNE_BUDGET_S", "900")),
         )
-        tuning = {"accepted_flags": accepted, "candidates": records}
+        tuning = {
+            "accepted_flags": accepted,
+            "candidates": records,
+            # Flags TUNED.json already flipped before this run (audit trail).
+            "tuned_defaults": getattr(fused, "TUNED_DEFAULTS", {}),
+        }
         if accepted:
             # Accepted flags are still set: clear the engine's per-shape
             # compile cache so throughput/latency re-trace under them, and

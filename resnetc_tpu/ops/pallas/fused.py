@@ -80,6 +80,63 @@ BASIC_DS_INT8: bool = False
 #: bottleneck family where only stage 0 won).
 BASIC_RUN_FUSE_STAGES: tuple = (0,)
 
+# --- Measured tuned defaults (TUNED.json) ---------------------------------
+#: Flags the unattended battery may flip via TUNED.json at the repo root.
+#: The file is written ONLY by tools/battery/auto_best.py after each flag
+#: wins an on-chip A/B AND passes the logits parity gate (bench.greedy_tune);
+#: every flag is additionally interpret-mode bit-match pinned in
+#: tests/test_pallas.py.  This closes the "flip every winning default" loop
+#: without a human in the one chip window.
+_TUNABLE_FLAGS = (
+    "STAGE_FUSE_PROJ",
+    "STEM_CIN_PAD",
+    "DS_PAIR_DMA",
+    "DS_CONV3_ONEDOT",
+    "BASIC_DS_INT8",
+    "RUN_FUSE_STAGES",
+    "BASIC_RUN_FUSE_STAGES",
+)
+
+
+def _apply_tuned_defaults() -> dict:
+    """Overlay TUNED.json's measured flag winners onto the code defaults.
+
+    Resolution order: RESNETC_NO_TUNED=1 disables entirely (the CPU test
+    suite sets it — tests pin code-default behavior and opt into flags
+    explicitly); RESNETC_TUNED_JSON overrides the path; default is
+    <repo>/TUNED.json.  Unknown keys and type-mismatched values are ignored
+    (a malformed file must never break serving).  Returns what was applied.
+    """
+    import json as _json
+    import os as _os
+    from pathlib import Path as _Path
+
+    if _os.environ.get("RESNETC_NO_TUNED") == "1":
+        return {}
+    path = _os.environ.get("RESNETC_TUNED_JSON") or str(
+        _Path(__file__).resolve().parents[3] / "TUNED.json"
+    )
+    try:
+        data = _json.loads(_Path(path).read_text())
+    except (OSError, ValueError):
+        return {}
+    applied = {}
+    for k, v in (data.get("flags") or {}).items():
+        if k not in _TUNABLE_FLAGS:
+            continue
+        default = globals()[k]
+        if isinstance(default, tuple) and isinstance(v, list):
+            v = tuple(v)
+        if type(v) is not type(default):  # exact: bool must not pass as int
+            continue
+        globals()[k] = v
+        applied[k] = v
+    return applied
+
+
+#: What TUNED.json actually flipped at import (empty when absent/disabled).
+TUNED_DEFAULTS = _apply_tuned_defaults()
+
 
 def _xla_conv(x, entry, *, k, stride, padding, relu, policy):
     """XLA fallback for shapes Pallas doesn't cover (stem, stride-2 3x3)."""

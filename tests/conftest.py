@@ -8,6 +8,10 @@ without TPU hardware.  Must run before the first ``import jax`` anywhere.
 import os
 
 os.environ["JAX_PLATFORMS"] = "cpu"
+# Hermetic flag defaults: tests pin CODE-default behavior and opt into
+# fused.py flags explicitly; a TUNED.json committed by the unattended
+# battery must not change what the suite exercises.
+os.environ["RESNETC_NO_TUNED"] = "1"
 
 import jax  # noqa: E402
 

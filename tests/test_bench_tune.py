@@ -112,6 +112,20 @@ def test_budget_exhaustion_skips_remaining_candidates():
     assert t.B is False
 
 
+def test_already_default_candidate_is_skipped_without_measuring():
+    t = flags(A=True, B=False)  # A already live (e.g. TUNED.json flipped it)
+    accepted, _, best, recs = bench.greedy_tune(
+        t,
+        [("A", True), ("B", True)],
+        scripted([10.0, 7.0]),  # baseline + B only — A must not burn a compile
+        lambda: (True, {}),
+        budget_s=1e9,
+        log=quiet,
+    )
+    assert recs[0] == {"flag": "A", "status": "already-default"}
+    assert accepted == {"B": True} and best == 7.0
+
+
 def test_baseline_failure_returns_empty_and_touches_nothing():
     t = flags(A=False)
     accepted, base, best, recs = bench.greedy_tune(

@@ -1,11 +1,16 @@
-"""Unattended greedy flag search: find and measure the best serving config.
+"""Unattended greedy flag search: find, gate, and PERSIST the best config.
 
 The per-flag A/B legs give attribution; this leg gives the ANSWER even if
-nobody is watching the one chip window: greedily accept each candidate
-fused.py flag (resnet50 int8_chain e2e, honest chained harness) when it
-wins by >1%, then report the winning combination and its throughput as one
-JSON line.  Defaults are still only flipped in code by a human after the
-verify_tpu gates pass — this prints the evidence, it does not edit files.
+nobody is watching the one chip window: it reuses bench.greedy_tune (the
+same engine the official bench self-tunes with) to greedily accept each
+candidate fused.py flag (resnet50 int8_chain e2e, honest chained harness)
+when it wins by >1% AND passes the logits parity gate vs the default
+config, then writes the winning combination to <repo>/TUNED.json — which
+fused.py overlays onto its code defaults at import, so serving, the CLI,
+and subsequent bench runs all start from the measured-best config without
+a human in the loop.  Every candidate flag is additionally interpret-mode
+bit-match pinned in tests/test_pallas.py, and the battery runs the full
+on-chip Mosaic gate (tools/verify_tpu.py) before this leg.
 
 Greedy order is the expected-impact ranking (whole-stage first); each
 candidate is evaluated on top of the already-accepted set, so interactions
@@ -15,53 +20,79 @@ time at n=4).
 
 import json
 import sys
+import time
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent))
-from _common import bench_batch, build_int8_chain, fused, time_forward  # noqa: E402
+from _common import REPO, bench_batch, build_int8_chain, fused, time_forward  # noqa: E402
 
-CANDIDATES = [
-    ("STAGE_FUSE_PROJ", True),
-    ("DS_CONV3_ONEDOT", True),
-    ("DS_PAIR_DMA", True),
-]
+sys.path.insert(0, REPO)
+import jax  # noqa: E402
+import numpy as np  # noqa: E402
+
+from bench import TUNE_CANDIDATES, greedy_tune  # noqa: E402
 
 x = bench_batch()
 cfg, _, qtree, scales = build_int8_chain("resnet50")
 
-defaults = {k: getattr(fused, k) for k, _ in CANDIDATES}
-accepted: dict = {}
-try:
-    base = time_forward(cfg, qtree, scales, x, iters=16)
-    print(f"base (defaults): {base*1e3:.2f} ms -> {256/base:.0f} img/s",
-          flush=True)
-    best = base
-    for name, value in CANDIDATES:
-        try:
-            setattr(fused, name, value)
-            sec = time_forward(cfg, qtree, scales, x, iters=16)
-            win = sec < best * 0.99
-            print(
-                f"{name}={value} (on top of {sorted(accepted) or 'defaults'}):"
-                f" {sec*1e3:.2f} ms -> {256/sec:.0f} img/s"
-                f" [{'ACCEPT' if win else 'reject'}]",
-                flush=True,
-            )
-            if win:
-                accepted[name] = value
-                best = sec
-            else:
-                setattr(fused, name, defaults[name])
-        except Exception as e:
-            print(f"{name}={value}: FAIL {type(e).__name__}: {e}", flush=True)
-            setattr(fused, name, defaults[name])
-    print(json.dumps({
-        "metric": "resnet50 b256 int8_chain e2e, greedy-best flags",
-        "images_per_sec": round(256 / best, 1),
-        "ms_per_batch": round(best * 1e3, 3),
-        "accepted_flags": accepted,
-        "vs_defaults": round(base / best, 4),
-    }), flush=True)
-finally:
-    for k, v in defaults.items():
-        setattr(fused, k, v)
+# Default-config logits: the parity reference for every candidate.
+ref = np.asarray(
+    jax.device_get(
+        jax.jit(lambda xx: fused.fused_forward_int8_chain(cfg, qtree, scales, xx))(x)
+    ).astype(np.float32)
+)
+ref_arg = np.argmax(ref, axis=-1)
+
+
+def measure():
+    return time_forward(cfg, qtree, scales, x, iters=16)
+
+
+def parity():
+    lg = np.asarray(
+        jax.device_get(
+            jax.jit(
+                lambda xx: fused.fused_forward_int8_chain(cfg, qtree, scales, xx)
+            )(x)
+        ).astype(np.float32)
+    )
+    am = float(np.mean(np.argmax(lg, axis=-1) == ref_arg))
+    rel = float(np.mean(np.abs(lg - ref)) / (np.mean(np.abs(ref)) + 1e-12))
+    return (am >= 0.995 and rel <= 0.05), {
+        "argmax_match": round(am, 4),
+        "rel_mae": round(rel, 5),
+    }
+
+
+accepted, base, best, records = greedy_tune(
+    fused, TUNE_CANDIDATES, measure, parity, budget_s=3600.0,
+    log=lambda s: print(s, flush=True),
+)
+
+print(json.dumps({
+    "metric": "resnet50 b256 int8_chain e2e, greedy-best flags",
+    "images_per_sec": round(256 / best, 1) if best else None,
+    "ms_per_batch": round(best * 1e3, 3) if best else None,
+    "accepted_flags": accepted,
+    "tuned_defaults_in_effect": dict(fused.TUNED_DEFAULTS),
+    "vs_defaults": round(base / best, 4) if base and best else None,
+    "candidates": records,
+}), flush=True)
+
+# Persist: merge with whatever TUNED.json already flipped (those candidates
+# were skipped as already-default above) so earlier wins survive.
+combined = {**dict(fused.TUNED_DEFAULTS), **accepted}
+if combined:
+    out = Path(REPO) / "TUNED.json"
+    out.write_text(json.dumps({
+        "flags": combined,
+        "evidence": {
+            "model": "resnet50 b256 int8_chain, chained harness, 16 iters",
+            "base_ms": round(base * 1e3, 3) if base else None,
+            "best_ms": round(best * 1e3, 3) if best else None,
+            "candidates": records,
+            "written_by": "tools/battery/auto_best.py",
+            "unix_time": int(time.time()),
+        },
+    }, indent=1) + "\n")
+    print(f"TUNED.json written: {combined}", flush=True)

@@ -18,7 +18,7 @@ preserve() {
   # git add per file: a single multi-path add is all-or-nothing (one missing
   # pathspec stages NOTHING and exits 128 — r4 review finding).
   (cd /root/repo \
-   && { for f in BATTERY_r04.log BENCH_battery_r04.json VERIFY_TPU.json; do
+   && { for f in BATTERY_r04.log BENCH_battery_r04.json VERIFY_TPU.json TUNED.json; do
           git add "$f" 2>/dev/null || true
         done; } \
    && git commit -q -m "Battery r04: on-chip measurement artifacts (unattended)" \
@@ -33,6 +33,9 @@ RESNETC_BENCH_TUNE_BUDGET_S=1800 timeout 5400 python bench.py | tee /tmp/bench_r
 preserve
 log "on-chip Mosaic parity gate"
 timeout 5400 python tools/verify_tpu.py
+preserve
+log "greedy best-config search -> persist winners to TUNED.json"
+timeout 4800 python /root/repo/tools/battery/auto_best.py
 preserve
 log "A/B whole-stage L1 + bt sweep"
 timeout 4800 python /root/repo/tools/battery/ab_stage.py
@@ -52,8 +55,6 @@ log "ds conv3-onedot kernel A/B (isolated 2x2 + e2e)"
 timeout 4800 python /root/repo/tools/battery/ds_onedot_ab.py
 log "int8 calibration A/B (absmax vs percentile, real-fixture mix)"
 timeout 3600 python /root/repo/tools/battery/calib_ab.py
-log "greedy best-config search (independent confirmation of the bench tune)"
-timeout 4800 python /root/repo/tools/battery/auto_best.py
 log "train batch-size sweep"
 timeout 2400 python tools/profile_train.py --batch 384 --iters 6
 timeout 2400 python tools/profile_train.py --batch 512 --iters 6
