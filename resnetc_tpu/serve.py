@@ -143,7 +143,7 @@ class InferenceEngine:
         else:
             self.folded = folded
         self._backend = backend
-        self._compiled: dict[tuple[int, int, int], Callable] = {}
+        self._compiled: dict[tuple, Callable] = {}
 
     def _fn(self):
         cfg, policy = self.model_cfg, self.policy
@@ -190,13 +190,21 @@ class InferenceEngine:
                 return fused_forward_int8(cfg, folded, x, policy=policy, interpret=interp)
         return run
 
-    def compile(self, batch: int, height: int = 224, width: int = 224) -> Callable:
-        """AOT-compile for a shape (compile cost paid here, not on the first
-        request)."""
-        key = (batch, height, width)
+    def compile(
+        self,
+        batch: int,
+        height: int = 224,
+        width: int = 224,
+        dtype=jnp.float32,
+    ) -> Callable:
+        """AOT-compile for a shape + input dtype (compile cost paid here, not
+        on the first request).  The host pipeline ships bf16 under the
+        serving contract, so the input dtype is part of the program key —
+        a float32-only key would reject bf16 batches at dispatch."""
+        key = (batch, height, width, jnp.dtype(dtype).name)
         if key not in self._compiled:
             fn = jax.jit(self._fn())
-            x = jax.ShapeDtypeStruct((batch, height, width, 3), jnp.float32)
+            x = jax.ShapeDtypeStruct((batch, height, width, 3), dtype)
             folded_shapes = jax.tree.map(
                 lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype, sharding=getattr(a, "sharding", None)),
                 self.folded,
@@ -211,7 +219,7 @@ class InferenceEngine:
                 "NCHW inputs must go through resnetc_tpu.tensor.nchw_to_nhwc"
             )
         b, h, w, _ = images.shape
-        return self.compile(b, h, w)(self.folded, images)
+        return self.compile(b, h, w, images.dtype)(self.folded, images)
 
     def classify(self, images: jax.Array) -> np.ndarray:
         """Argmax class indices — the reference's readout (main.cu:243-251),
