@@ -32,52 +32,57 @@ import numpy as np  # noqa: E402
 
 from bench import TUNE_CANDIDATES, greedy_tune  # noqa: E402
 
-x = bench_batch()
-cfg, _, qtree, scales = build_int8_chain("resnet50")
+def tune_model(model: str, candidates, *, budget_s: float):
+    """One greedy pass: (accepted, records) for ``model``'s int8_chain e2e.
+    Accepted flags stay set on fused (later passes tune on top of them)."""
+    x = bench_batch()
+    cfg, _, qtree, scales = build_int8_chain(model)
 
-# Default-config logits: the parity reference for every candidate.
-ref = np.asarray(
-    jax.device_get(
-        jax.jit(lambda xx: fused.fused_forward_int8_chain(cfg, qtree, scales, xx))(x)
-    ).astype(np.float32)
-)
-ref_arg = np.argmax(ref, axis=-1)
+    def fwd(xx):
+        return fused.fused_forward_int8_chain(cfg, qtree, scales, xx)
 
+    # Default-config logits: the parity reference for every candidate.
+    ref = np.asarray(jax.device_get(jax.jit(fwd)(x)).astype(np.float32))
+    ref_arg = np.argmax(ref, axis=-1)
 
-def measure():
-    return time_forward(cfg, qtree, scales, x, iters=16)
+    def measure():
+        return time_forward(cfg, qtree, scales, x, iters=16)
 
+    def parity():
+        lg = np.asarray(jax.device_get(jax.jit(fwd)(x)).astype(np.float32))
+        am = float(np.mean(np.argmax(lg, axis=-1) == ref_arg))
+        rel = float(np.mean(np.abs(lg - ref)) / (np.mean(np.abs(ref)) + 1e-12))
+        return (am >= 0.995 and rel <= 0.05), {
+            "argmax_match": round(am, 4),
+            "rel_mae": round(rel, 5),
+        }
 
-def parity():
-    lg = np.asarray(
-        jax.device_get(
-            jax.jit(
-                lambda xx: fused.fused_forward_int8_chain(cfg, qtree, scales, xx)
-            )(x)
-        ).astype(np.float32)
+    accepted, base, best, records = greedy_tune(
+        fused, candidates, measure, parity, budget_s=budget_s,
+        log=lambda s: print(f"[{model}] {s}", flush=True),
     )
-    am = float(np.mean(np.argmax(lg, axis=-1) == ref_arg))
-    rel = float(np.mean(np.abs(lg - ref)) / (np.mean(np.abs(ref)) + 1e-12))
-    return (am >= 0.995 and rel <= 0.05), {
-        "argmax_match": round(am, 4),
-        "rel_mae": round(rel, 5),
+    summary = {
+        "metric": f"{model} b256 int8_chain e2e, greedy-best flags",
+        "images_per_sec": round(256 / best, 1) if best else None,
+        "ms_per_batch": round(best * 1e3, 3) if best else None,
+        "accepted_flags": accepted,
+        "vs_defaults": round(base / best, 4) if base and best else None,
+        "candidates": records,
     }
+    EVIDENCE.append(summary)
+    print(json.dumps(summary), flush=True)
+    return accepted
 
 
-accepted, base, best, records = greedy_tune(
-    fused, TUNE_CANDIDATES, measure, parity, budget_s=3600.0,
-    log=lambda s: print(s, flush=True),
-)
+EVIDENCE: list = []
 
-print(json.dumps({
-    "metric": "resnet50 b256 int8_chain e2e, greedy-best flags",
-    "images_per_sec": round(256 / best, 1) if best else None,
-    "ms_per_batch": round(best * 1e3, 3) if best else None,
-    "accepted_flags": accepted,
-    "tuned_defaults_in_effect": dict(fused.TUNED_DEFAULTS),
-    "vs_defaults": round(base / best, 4) if base and best else None,
-    "candidates": records,
-}), flush=True)
+
+# Pass 1: the headline model, the full candidate set.
+accepted = tune_model("resnet50", TUNE_CANDIDATES, budget_s=2700.0)
+# Pass 2: the basic family's own flag (no effect on bottleneck models), on
+# top of pass 1's winners — resnet18 shares the stem/ds machinery, so the
+# already-accepted flags apply to it too.
+accepted.update(tune_model("resnet18", [("BASIC_DS_INT8", True)], budget_s=900.0))
 
 # Persist: merge with whatever TUNED.json already flipped (those candidates
 # were skipped as already-default above) so earlier wins survive.
@@ -87,10 +92,8 @@ if combined:
     out.write_text(json.dumps({
         "flags": combined,
         "evidence": {
-            "model": "resnet50 b256 int8_chain, chained harness, 16 iters",
-            "base_ms": round(base * 1e3, 3) if base else None,
-            "best_ms": round(best * 1e3, 3) if best else None,
-            "candidates": records,
+            "harness": "int8_chain e2e, chained harness, 16 iters, b256",
+            "passes": EVIDENCE,
             "written_by": "tools/battery/auto_best.py",
             "unix_time": int(time.time()),
         },
