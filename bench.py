@@ -84,6 +84,27 @@ TUNE_CANDIDATES = [
 ]
 
 
+def logits_parity(
+    ref,
+    run_fn,
+    x,
+    *,
+    argmax_thresh: float = 0.995,
+    rel_mae_thresh: float = 0.05,
+):
+    """(ok, info): run_fn(x) logits under CURRENT flags vs the default-config
+    reference.  One copy of the acceptance gate — bench.py's self-tune and
+    the battery's auto_best.py must never desynchronize on what counts as
+    parity (the thresholds here decide what becomes a serving default)."""
+    lg = np.asarray(jax.device_get(jax.jit(run_fn)(x)).astype(np.float32))
+    am = float(np.mean(np.argmax(lg, axis=-1) == np.argmax(ref, axis=-1)))
+    rel = float(np.mean(np.abs(lg - ref)) / (np.mean(np.abs(ref)) + 1e-12))
+    return (am >= argmax_thresh and rel <= rel_mae_thresh), {
+        "argmax_match": round(am, 4),
+        "rel_mae": round(rel, 5),
+    }
+
+
 def greedy_tune(
     target,
     candidates,
@@ -219,6 +240,7 @@ def main() -> None:
     from resnetc_tpu.utils.timing import chained_seconds_per_iter
 
     tuning = None
+    tuned_ctx = None  # (fused module, pre-tune flag values) while flags are live
     if (
         on_tpu
         and engines.get("int8_chain") is not None
@@ -227,11 +249,12 @@ def main() -> None:
         from resnetc_tpu.ops.pallas import fused
 
         eng = engines["int8_chain"]
+        pre_tune_flags = {k: getattr(fused, k) for k, _ in TUNE_CANDIDATES}
+        tuned_ctx = (fused, pre_tune_flags)
         # Default-config logits are the parity reference: every armed flag is
         # bit-match pinned vs flag-off in interpret mode, so on-chip logits
         # must agree up to accumulation-order noise.
         ref = np.asarray(jax.device_get(eng.logits(images)).astype(jnp.float32))
-        ref_arg = np.argmax(ref, axis=-1)
 
         def _chain_call(x):
             return fused.fused_forward_int8_chain(
@@ -241,24 +264,11 @@ def main() -> None:
         def measure():
             return chained_seconds_per_iter(_chain_call, images, iters=16)
 
-        def parity():
-            lg = np.asarray(
-                jax.device_get(jax.jit(_chain_call)(images)).astype(jnp.float32)
-            )
-            am = float(np.mean(np.argmax(lg, axis=-1) == ref_arg))
-            rel = float(
-                np.mean(np.abs(lg - ref)) / (np.mean(np.abs(ref)) + 1e-12)
-            )
-            return (am >= 0.995 and rel <= 0.05), {
-                "argmax_match": round(am, 4),
-                "rel_mae": round(rel, 5),
-            }
-
         accepted, _, _, records = greedy_tune(
             fused,
             TUNE_CANDIDATES,
             measure,
-            parity,
+            lambda: logits_parity(ref, _chain_call, images),
             budget_s=float(os.environ.get("RESNETC_BENCH_TUNE_BUDGET_S", "900")),
         )
         tuning = {
@@ -271,17 +281,41 @@ def main() -> None:
             # Accepted flags are still set: clear the engine's per-shape
             # compile cache so throughput/latency re-trace under them, and
             # report the tuned config as its own headline-eligible entry.
-            eng._compiled.clear()
-            tp = bench_throughput(eng, images, steps=steps)
-            per_backend["int8_chain_tuned"] = round(tp.images_per_sec, 2)
-            backends = backends + ["int8_chain_tuned"]
-            engines["int8_chain_tuned"] = eng
+            # Guarded: everything above is already measured, and the one
+            # unattended JSON line must survive a re-measure failure.
+            try:
+                eng._compiled.clear()
+                tp = bench_throughput(eng, images, steps=steps)
+                per_backend["int8_chain_tuned"] = round(tp.images_per_sec, 2)
+                backends = backends + ["int8_chain_tuned"]
+                engines["int8_chain_tuned"] = eng
+            except Exception as e:
+                print(
+                    f"bench: tuned re-measure failed: {type(e).__name__}: {e}",
+                    file=sys.stderr,
+                )
+                tuning["remeasure_error"] = f"{type(e).__name__}: {e}"
+                for k, v in pre_tune_flags.items():
+                    setattr(fused, k, v)
+                eng._compiled.clear()
 
     best_backend = max(
         (b for b in backends if per_backend[b] is not None),
         key=lambda b: per_backend[b],
     )
     best_ips = per_backend[best_backend]
+
+    # Config consistency: accepted tune flags are module globals, so ANY
+    # engine traced from here on would silently run the tuned config.  If
+    # the labeled best is not the tuned entry (noise on the re-measure, or
+    # a non-int8 winner), restore the pre-tune flags so the latency numbers
+    # below measure exactly the config the headline names.
+    if best_backend != "int8_chain_tuned" and tuned_ctx is not None:
+        fused_mod, pre_flags = tuned_ctx
+        if any(getattr(fused_mod, k) != v for k, v in pre_flags.items()):
+            for k, v in pre_flags.items():
+                setattr(fused_mod, k, v)
+            engines["int8_chain"]._compiled.clear()
 
     # Latency: RTT-inclusive round trips (what a remote frontend waits for)
     # plus device-only marginal cost (what the engine itself costs).

@@ -118,20 +118,27 @@ def _apply_tuned_defaults() -> dict:
     )
     try:
         data = _json.loads(_Path(path).read_text())
-    except (OSError, ValueError):
+        flags = data.get("flags") if isinstance(data, dict) else None
+        if not isinstance(flags, dict):
+            return {}
+        applied = {}
+        for k, v in flags.items():
+            if k not in _TUNABLE_FLAGS:
+                continue
+            default = globals()[k]
+            if isinstance(default, tuple) and isinstance(v, list):
+                if not all(type(e) is int for e in v):
+                    continue  # stage indices only — reject at load, not trace
+                v = tuple(v)
+            if type(v) is not type(default):  # exact: bool must not pass as int
+                continue
+            globals()[k] = v
+            applied[k] = v
+        return applied
+    except Exception:
+        # The contract is absolute: a bad TUNED.json (non-dict JSON, weird
+        # types, IO races) must never break an import of the serving path.
         return {}
-    applied = {}
-    for k, v in (data.get("flags") or {}).items():
-        if k not in _TUNABLE_FLAGS:
-            continue
-        default = globals()[k]
-        if isinstance(default, tuple) and isinstance(v, list):
-            v = tuple(v)
-        if type(v) is not type(default):  # exact: bool must not pass as int
-            continue
-        globals()[k] = v
-        applied[k] = v
-    return applied
 
 
 #: What TUNED.json actually flipped at import (empty when absent/disabled).

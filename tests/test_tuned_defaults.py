@@ -69,6 +69,31 @@ def test_malformed_file_is_a_noop(tmp_path, monkeypatch, restore_flags):
     assert apply_from(tmp_path, monkeypatch, "{not json") == {}
 
 
+@pytest.mark.parametrize(
+    "payload",
+    [
+        "[1, 2, 3]",                      # valid JSON, not a dict
+        '{"flags": [1, 2]}',              # flags not a dict
+        '{"flags": "STAGE_FUSE_PROJ"}',   # flags a string
+        "null",
+        "3",
+    ],
+)
+def test_valid_json_wrong_shape_is_a_noop(tmp_path, monkeypatch, restore_flags, payload):
+    """The never-break-serving contract covers valid-but-wrong-shaped JSON,
+    not just parse errors (r4s2 review: .items() on a list crashed import)."""
+    assert apply_from(tmp_path, monkeypatch, payload) == {}
+
+
+def test_tuple_flag_with_non_int_elements_rejected(tmp_path, monkeypatch, restore_flags):
+    applied = apply_from(
+        tmp_path, monkeypatch,
+        {"flags": {"RUN_FUSE_STAGES": [[0]], "BASIC_RUN_FUSE_STAGES": ["a"]}},
+    )
+    assert applied == {}
+    assert fused.RUN_FUSE_STAGES == (0,)
+
+
 def test_missing_file_is_a_noop(tmp_path, monkeypatch, restore_flags):
     monkeypatch.delenv("RESNETC_NO_TUNED", raising=False)
     monkeypatch.setenv("RESNETC_TUNED_JSON", str(tmp_path / "absent.json"))

@@ -30,7 +30,7 @@ sys.path.insert(0, REPO)
 import jax  # noqa: E402
 import numpy as np  # noqa: E402
 
-from bench import TUNE_CANDIDATES, greedy_tune  # noqa: E402
+from bench import TUNE_CANDIDATES, greedy_tune, logits_parity  # noqa: E402
 
 def tune_model(model: str, candidates, *, budget_s: float):
     """One greedy pass: (accepted, records) for ``model``'s int8_chain e2e.
@@ -41,24 +41,18 @@ def tune_model(model: str, candidates, *, budget_s: float):
     def fwd(xx):
         return fused.fused_forward_int8_chain(cfg, qtree, scales, xx)
 
-    # Default-config logits: the parity reference for every candidate.
+    # Default-config logits: the parity reference for every candidate.  The
+    # acceptance gate itself (thresholds included) is bench.logits_parity —
+    # ONE copy shared with the official bench's self-tune, so what this leg
+    # persists as serving defaults can never drift from what bench accepts.
     ref = np.asarray(jax.device_get(jax.jit(fwd)(x)).astype(np.float32))
-    ref_arg = np.argmax(ref, axis=-1)
 
     def measure():
         return time_forward(cfg, qtree, scales, x, iters=16)
 
-    def parity():
-        lg = np.asarray(jax.device_get(jax.jit(fwd)(x)).astype(np.float32))
-        am = float(np.mean(np.argmax(lg, axis=-1) == ref_arg))
-        rel = float(np.mean(np.abs(lg - ref)) / (np.mean(np.abs(ref)) + 1e-12))
-        return (am >= 0.995 and rel <= 0.05), {
-            "argmax_match": round(am, 4),
-            "rel_mae": round(rel, 5),
-        }
-
     accepted, base, best, records = greedy_tune(
-        fused, candidates, measure, parity, budget_s=budget_s,
+        fused, candidates, measure, lambda: logits_parity(ref, fwd, x),
+        budget_s=budget_s,
         log=lambda s: print(f"[{model}] {s}", flush=True),
     )
     summary = {
@@ -77,12 +71,22 @@ def tune_model(model: str, candidates, *, budget_s: float):
 EVIDENCE: list = []
 
 
-# Pass 1: the headline model, the full candidate set.
-accepted = tune_model("resnet50", TUNE_CANDIDATES, budget_s=2700.0)
-# Pass 2: the basic family's own flag (no effect on bottleneck models), on
-# top of pass 1's winners — resnet18 shares the stem/ds machinery, so the
-# already-accepted flags apply to it too.
-accepted.update(tune_model("resnet18", [("BASIC_DS_INT8", True)], budget_s=900.0))
+# Each pass is exception-isolated: a setup failure in pass 2 (model build,
+# parity-reference compile under pass 1's still-set flags) must not discard
+# pass 1's measured winners before the TUNED.json write below.
+accepted: dict = {}
+for model, candidates, budget in (
+    # Pass 1: the headline model, the full candidate set.
+    ("resnet50", TUNE_CANDIDATES, 2700.0),
+    # Pass 2: the basic family's own flag (no effect on bottleneck models),
+    # on top of pass 1's winners — resnet18 shares the stem/ds machinery,
+    # so the already-accepted flags apply to it too.
+    ("resnet18", [("BASIC_DS_INT8", True)], 900.0),
+):
+    try:
+        accepted.update(tune_model(model, candidates, budget_s=budget))
+    except Exception as e:
+        print(f"[{model}] pass FAILED: {type(e).__name__}: {e}", flush=True)
 
 # Persist: merge with whatever TUNED.json already flipped (those candidates
 # were skipped as already-default above) so earlier wins survive.
