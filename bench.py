@@ -213,11 +213,16 @@ def main() -> None:
 
     # Measure every backend; headline = the best. Pallas interpret mode on a
     # CPU host is far too slow to smoke here — tests cover it — so CPU runs
-    # only exercise the XLA backend.
+    # only exercise the XLA backend.  RESNETC_BENCH_TUNE=force additionally
+    # runs int8_chain + the tuning phase off-TPU (slow interpret mode, tiny
+    # workload) — the only way to execute the TPU-only glue below before the
+    # unattended chip window does; pair with RESNETC_BENCH_TUNE_ITERS=2 and
+    # a small RESNETC_BENCH_TUNE_BUDGET_S.
+    tune_mode = os.environ.get("RESNETC_BENCH_TUNE", "1")
     backends = (
         ["xla", "pallas", "pallas_block", "int8", "int8_chain"]
         if on_tpu
-        else ["xla"]
+        else (["xla", "int8_chain"] if tune_mode == "force" else ["xla"])
     )
     per_backend: dict[str, float | None] = {}
     engines: dict[str, InferenceEngine] = {}
@@ -242,9 +247,9 @@ def main() -> None:
     tuning = None
     tuned_ctx = None  # (fused module, pre-tune flag values) while flags are live
     if (
-        on_tpu
+        (on_tpu or tune_mode == "force")
         and engines.get("int8_chain") is not None
-        and os.environ.get("RESNETC_BENCH_TUNE", "1") != "0"
+        and tune_mode != "0"
     ):
         from resnetc_tpu.ops.pallas import fused
 
@@ -257,12 +262,15 @@ def main() -> None:
         ref = np.asarray(jax.device_get(eng.logits(images)).astype(jnp.float32))
 
         def _chain_call(x):
+            # interpret covers the off-TPU force mode; on TPU it's False.
             return fused.fused_forward_int8_chain(
-                cfg, eng.folded, eng._chain_scales, x
+                cfg, eng.folded, eng._chain_scales, x, interpret=not on_tpu
             )
 
+        measure_iters = int(os.environ.get("RESNETC_BENCH_TUNE_ITERS", "16"))
+
         def measure():
-            return chained_seconds_per_iter(_chain_call, images, iters=16)
+            return chained_seconds_per_iter(_chain_call, images, iters=measure_iters)
 
         accepted, _, _, records = greedy_tune(
             fused,
