@@ -37,7 +37,8 @@ for this very run — so the bench greedily A/Bs each armed flag on the spot,
 accepts a flag only if it wins by >1% AND passes an argmax/rel-MAE parity
 gate against the default engine's logits, and reports the tuned config as a
 separate ``int8_chain_tuned`` backend entry (eligible for the headline).
-Everything is budgeted (RESNETC_BENCH_TUNE_BUDGET_S, default 900 s) and
+Everything is budgeted (RESNETC_BENCH_TUNE_BUDGET_S, default 600 s — conservative
+in case the caller's own timeout is tight; the battery passes 1800 s) and
 failure-isolated: a flag that fails to compile is reverted and recorded, and
 RESNETC_BENCH_TUNE=0 disables the whole phase.
 """
@@ -277,7 +278,7 @@ def main() -> None:
             TUNE_CANDIDATES,
             measure,
             lambda: logits_parity(ref, _chain_call, images),
-            budget_s=float(os.environ.get("RESNETC_BENCH_TUNE_BUDGET_S", "900")),
+            budget_s=float(os.environ.get("RESNETC_BENCH_TUNE_BUDGET_S", "600")),
         )
         tuning = {
             "accepted_flags": accepted,
