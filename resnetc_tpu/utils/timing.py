@@ -70,6 +70,9 @@ def chained_seconds_per_iter(
     the output + one add over the carry) is included — keep the carry small
     relative to the step's own traffic or account for it.
     """
+    # The marginal cost needs two distinct chain lengths; iters=1 would
+    # divide by zero below.
+    iters = max(int(iters), 2)
     base_iters = max(1, iters // 8)
     run = _build(step_fn, feedback)
     nb = jnp.int32(base_iters)
