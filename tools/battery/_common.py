@@ -24,10 +24,30 @@ from resnetc_tpu.models import resnet  # noqa: E402
 from resnetc_tpu.ops.pallas import fused  # noqa: E402
 from resnetc_tpu.utils.timing import chained_seconds_per_iter  # noqa: E402
 
-BATCH = 256
+import os
+
+#: RESNETC_BATTERY_SMOKE=1 shrinks every leg to CPU-interpret-feasible
+#: shapes so the unattended glue (greedy passes, TUNED.json write, A/B
+#: plumbing) can be EXECUTED off-TPU before the one chip window.  Timing
+#: results under smoke are meaningless by construction.
+SMOKE = os.environ.get("RESNETC_BATTERY_SMOKE") == "1"
+if SMOKE:
+    # Smoke is an off-TPU validation mode: force the CPU platform BEFORE
+    # the first backend touch (with the tunnel down, any backend query
+    # hangs — and the axon plugin stomps JAX_PLATFORMS=cpu from the env).
+    try:
+        jax.config.update("jax_platforms", "cpu")
+    except RuntimeError:
+        pass  # backend already initialized by the embedding process
+BATCH = 8 if SMOKE else 256
+SIZE = 64 if SMOKE else 224
 
 
-def bench_batch(batch: int = BATCH, size: int = 224, dtype=jnp.bfloat16):
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def bench_batch(batch: int = BATCH, size: int = SIZE, dtype=jnp.bfloat16):
     return jnp.asarray(
         np.random.default_rng(0).standard_normal(
             (batch, size, size, 3), dtype=np.float32
@@ -43,7 +63,7 @@ def build_int8_chain(model: str, calib_batch: int = 8, calib_method: str = "absm
     folded = resnet.fold_inference_params(cfg, variables)
     calib = jnp.asarray(
         np.random.default_rng(1).standard_normal(
-            (calib_batch, 224, 224, 3), dtype=np.float32
+            (calib_batch, SIZE, SIZE, 3), dtype=np.float32
         )
     )
     scales = fused.calibrate_chain_scales(
@@ -55,9 +75,12 @@ def build_int8_chain(model: str, calib_batch: int = 8, calib_method: str = "absm
 
 def time_forward(cfg, qtree, scales, x, *, iters: int = 12) -> float:
     """Honest chained seconds/iter of the int8_chain forward."""
+    interp = _interpret()
     return chained_seconds_per_iter(
-        lambda xx: fused.fused_forward_int8_chain(cfg, qtree, scales, xx),
-        x, iters=iters,
+        lambda xx: fused.fused_forward_int8_chain(
+            cfg, qtree, scales, xx, interpret=interp
+        ),
+        x, iters=min(iters, 2) if SMOKE else iters,
     )
 
 

@@ -38,8 +38,12 @@ def tune_model(model: str, candidates, *, budget_s: float):
     x = bench_batch()
     cfg, _, qtree, scales = build_int8_chain(model)
 
+    interp = jax.default_backend() != "tpu"  # CPU smoke runs interpret
+
     def fwd(xx):
-        return fused.fused_forward_int8_chain(cfg, qtree, scales, xx)
+        return fused.fused_forward_int8_chain(
+            cfg, qtree, scales, xx, interpret=interp
+        )
 
     # Default-config logits: the parity reference for every candidate.  The
     # acceptance gate itself (thresholds included) is bench.logits_parity —
@@ -92,7 +96,12 @@ for model, candidates, budget in (
 # were skipped as already-default above) so earlier wins survive.
 combined = {**dict(fused.TUNED_DEFAULTS), **accepted}
 if combined:
-    out = Path(REPO) / "TUNED.json"
+    import os
+
+    # Symmetric with the loader: RESNETC_TUNED_JSON redirects the output
+    # (the CPU smoke must not write flags accepted on meaningless CPU
+    # timings into the repo's real TUNED.json).
+    out = Path(os.environ.get("RESNETC_TUNED_JSON") or (Path(REPO) / "TUNED.json"))
     out.write_text(json.dumps({
         "flags": combined,
         "evidence": {
