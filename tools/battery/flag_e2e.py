@@ -35,7 +35,8 @@ for model in ("resnet18", "resnet34"):
             x, iters=12,
         )
         print(
-            f"{model} xla_folded: {sec * 1e3:.2f} ms -> {256 / sec:.0f} img/s",
+            f"{model} xla_folded: {sec * 1e3:.2f} ms "
+            f"-> {x.shape[0] / sec:.0f} img/s",
             flush=True,
         )
     except Exception as e:
