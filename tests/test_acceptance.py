@@ -23,6 +23,16 @@ ImageNet-val eval recipe (once weights + the val set exist)::
 
 (see also ``resnetc_tpu.data.imagefolder.evaluate`` — top-1/top-5 over an
 ImageFolder tree).
+
+Mitigation attempts, recorded (round 4, 2026-08-19): the build image has no
+torchvision module, no ``~/.cache/torch`` hub cache, no ``*.pth`` anywhere on
+the filesystem, and zero network egress (DNS resolution itself fails for
+``download.pytorch.org``) — so the IMAGENET1K_V1 checkpoint cannot be
+obtained from inside this environment.  The export path for a torch-capable
+host is fully built and tested: run the reference's own ``save_weights.py``
+(or ``checkpoint.save_reference_format`` on a loaded twin — byte-contract
+pinned by ``test_reference_format_bytes_match_save_weights_contract``), copy
+``weights_bin/`` here, and this gate runs un-skipped with no code changes.
 """
 
 from __future__ import annotations

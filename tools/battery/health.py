@@ -38,14 +38,20 @@ def fn(salt):
 sec = chained_seconds_per_iter(fn, jnp.zeros((8, 8), jnp.float32), iters=16)
 print(f"health L1b1: {sec*1e3:.3f} ms ({'HEALTHY' if sec < 1.9e-3 else 'DEGRADED'})")
 
-# raw bf16 dot as a second, kernel-independent reference (~179 TF/s healthy)
+# raw bf16 dot as a second, kernel-independent reference (~179 TF/s healthy).
+# Two measurement traps fixed here (the r4 battery read 0.000 ms): a scalar
+# operand perturbation distributes and the dot hoists out of the loop, and a
+# sliced return lets XLA narrow the dot to the consumed rows — so perturb by
+# dynamic-update-slice and carry a FULL reduction of y.
 a = jnp.asarray(rng.standard_normal((4096, 4096), dtype=np.float32), jnp.bfloat16)
 b = jnp.asarray(rng.standard_normal((4096, 4096), dtype=np.float32), jnp.bfloat16)
 
 def dot_chain(salt):
-    y = a @ (b + (salt[0, 0] * 1e-30).astype(jnp.bfloat16))
-    return jax.lax.slice(y, (0, 0), (8, 8)).astype(jnp.float32)
+    a2 = jax.lax.dynamic_update_slice(
+        a, jnp.full((8, 8), salt * 1e-30, jnp.bfloat16), (0, 0)
+    )
+    return jnp.sum((a2 @ b).astype(jnp.float32))
 
-sec2 = chained_seconds_per_iter(dot_chain, jnp.zeros((8, 8), jnp.float32), iters=16)
+sec2 = chained_seconds_per_iter(dot_chain, jnp.float32(0), iters=16)
 tf = 2 * 4096**3 / sec2 / 1e12
 print(f"health dot4096: {sec2*1e3:.3f} ms  {tf:.0f} TF/s ({'HEALTHY' if tf > 140 else 'DEGRADED'})")
