@@ -506,17 +506,24 @@ def _chained_kernel_int8(
 
 
 #: Measured best bt per stage (keyed by c), b256 ResNet-50 chain shapes,
-#: swept on the v5e under the 100MB VMEM cap (salted harness, 2026-08-17):
-#: L1 c=64: bt=4 -6% vs the old 9MB-budget pick; L2 c=128: bt=8 -3%;
-#: L3 c=256: bt=8 0.38 vs 0.71 ms (+86%! — per-step pipeline overhead at
-#: small rows dominated); L4 c=512: bt=16 -8%.
-_MEASURED_BT_CHAIN = {64: 4, 128: 8, 256: 8, 512: 16}
+#: swept on the v5e under the 100MB VMEM cap (salted harness; re-swept
+#: 2026-08-19 under the degraded-DMA window, tools/battery/bt_sweep.py):
+#: L1 c=64: bt=4 (2.631 ms; bt=8 2.958, bt=16 spills registers past the
+#: cap); L2 c=128: bt=8 (0.777 ms, -33% vs bt=4); L3 c=256: bt=16
+#: (0.583 ms, -19% vs the round-3 bt=8); L4 c=512: bt=32 (0.411 ms,
+#: -33% vs the round-3 bt=16).
+_MEASURED_BT_CHAIN = {64: 4, 128: 8, 256: 16, 512: 32}
 
 
 def _pick_bt_chain_int8(b: int, hp: int, wp: int, c: int, c4: int) -> int:
     """Measured-table bt when it applies, else largest divisor of B whose
     int8 chained working set fits the VMEM budget."""
     budget = 40 * 2**20  # of the 100MB cap: in/out auto-double-buffered
+    # Measured hits were compile+run-validated by the sweep at their b256
+    # geometry, so they only need to clear the hard cap (L4 bt=32's
+    # estimated working set is ~87MB and it measures fastest); the
+    # conservative 40MB walk budget stays for unmeasured geometries.
+    hit_cap = 90 * 2**20
     slot = _round_up(c, 128)  # kw slots pad to full lane tiles (c=64 case)
     weights = c4 * c + 9 * c * c + c * c4  # int8: 1 byte each
 
@@ -532,7 +539,7 @@ def _pick_bt_chain_int8(b: int, hp: int, wp: int, c: int, c4: int) -> int:
         )
 
     hit = _MEASURED_BT_CHAIN.get(c)
-    if hit is not None and b % hit == 0 and work(hit) <= budget:
+    if hit is not None and b % hit == 0 and work(hit) <= hit_cap:
         return hit
     best = 1
     for bt in range(1, b + 1):

@@ -167,6 +167,9 @@ def probe(xr, q, *, h, w_sp, phase, bt=None):
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel",),
+            # Match the production kernels (block.py): Mosaic's default 16MB
+            # scoped-VMEM cap OOMs this probe at the current bt picks.
+            vmem_limit_bytes=100 * 2**20,
         ),
     )(
         xr, q["w1q"], q["b1"][None, :] , q["w2pq"], q["b2"][None, :],
