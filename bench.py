@@ -123,10 +123,16 @@ def greedy_tune(
     ordered list of (attr_name, trial_value).  ``measure()`` returns
     seconds/iter under the CURRENT flag settings; ``parity()`` returns
     (ok, info_dict) comparing the current config's outputs to the default
-    config's.  A candidate is accepted only when it beats the best-so-far by
-    ``min_win`` AND passes parity; accepted flags STAY SET on ``target``
-    when this returns (so the caller's subsequent traces use them), rejected
-    or failed ones are restored.  Candidates past the budget are skipped and
+    config's.  Every candidate is judged against a PAIRED CONTROL: the
+    incumbent config (accepted flags so far, candidate off) re-measured
+    immediately after the candidate.  On this machine the effective HBM/MXU
+    rates drift 20-60% over tens of minutes (PERF.md round 4), so a
+    candidate compared to a baseline measured minutes earlier ranks the
+    weather, not the flag — the adjacent pair shares one weather sample.
+    A candidate is accepted only when it beats its control by ``min_win``
+    AND passes parity; accepted flags STAY SET on ``target`` when this
+    returns (so the caller's subsequent traces use them), rejected or
+    failed ones are restored.  Candidates past the budget are skipped and
     recorded as such.  Returns (accepted, base_sec, best_sec, records).
     """
     defaults = {k: getattr(target, k) for k, _ in candidates}
@@ -152,8 +158,16 @@ def greedy_tune(
         try:
             setattr(target, name, value)
             sec = measure()
-            rec = {"flag": name, "value": value, "ms": round(sec * 1e3, 3)}
-            if sec < best * (1.0 - min_win):
+            # Paired control: incumbent config, measured adjacently.  The
+            # program was already compiled for the baseline (or a prior
+            # control), so this costs a retrace + one short device run,
+            # not a Mosaic recompile.
+            setattr(target, name, defaults[name])
+            ctrl = measure()
+            rec = {"flag": name, "value": value, "ms": round(sec * 1e3, 3),
+                   "control_ms": round(ctrl * 1e3, 3)}
+            if sec < ctrl * (1.0 - min_win):
+                setattr(target, name, value)
                 ok, info = parity()
                 rec["parity"] = info
                 if ok:
@@ -164,10 +178,10 @@ def greedy_tune(
                     rec["status"] = "parity-fail"
                     setattr(target, name, defaults[name])
             else:
-                rec["status"] = "rejected"
-                setattr(target, name, defaults[name])
+                rec["status"] = "rejected"  # flag already restored above
             records.append(rec)
-            log(f"tune: {name}={value}: {rec['ms']} ms [{rec['status']}]")
+            log(f"tune: {name}={value}: {rec['ms']} ms"
+                f" (control {rec['control_ms']}) [{rec['status']}]")
         except Exception as e:  # a broken candidate must not kill the bench
             setattr(target, name, defaults[name])
             records.append({"flag": name, "status": "fail",

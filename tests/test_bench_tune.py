@@ -41,11 +41,13 @@ def quiet(_msg):
 
 def test_accepts_winner_and_keeps_it_set():
     t = flags(A=False, B=False)
-    # baseline 10s; A wins (8s, parity ok); B loses vs new best (8.5s).
+    # baseline 10s; A wins its pair (8 vs control 10, parity ok); B loses
+    # its pair (8.5 vs control 8.0).  Each measured candidate consumes TWO
+    # scripted values: candidate then adjacent incumbent control.
     accepted, base, best, recs = bench.greedy_tune(
         t,
         [("A", True), ("B", True)],
-        scripted([10.0, 8.0, 8.5]),
+        scripted([10.0, 8.0, 10.0, 8.5, 8.0]),
         lambda: (True, {"argmax_match": 1.0}),
         budget_s=1e9,
         log=quiet,
@@ -55,13 +57,15 @@ def test_accepts_winner_and_keeps_it_set():
     assert t.A is True  # accepted flag stays live for the caller's re-trace
     assert t.B is False  # rejected flag restored
     assert [r["status"] for r in recs] == ["accepted", "rejected"]
+    assert recs[0]["control_ms"] == 10000.0
+    assert recs[1]["control_ms"] == 8000.0
 
 
 def test_marginal_win_below_threshold_is_rejected():
     t = flags(A=False)
-    # 9.95 vs 10.0 is <1% — must not accept.
+    # 9.95 vs its adjacent control 10.0 is <1% — must not accept.
     accepted, _, best, recs = bench.greedy_tune(
-        t, [("A", True)], scripted([10.0, 9.95]),
+        t, [("A", True)], scripted([10.0, 9.95, 10.0]),
         lambda: (True, {}), budget_s=1e9, log=quiet,
     )
     assert accepted == {} and best == 10.0 and t.A is False
@@ -71,7 +75,7 @@ def test_marginal_win_below_threshold_is_rejected():
 def test_parity_failure_reverts_even_on_speed_win():
     t = flags(A=False)
     accepted, _, best, recs = bench.greedy_tune(
-        t, [("A", True)], scripted([10.0, 5.0]),
+        t, [("A", True)], scripted([10.0, 5.0, 10.0]),
         lambda: (False, {"argmax_match": 0.5}), budget_s=1e9, log=quiet,
     )
     assert accepted == {} and best == 10.0 and t.A is False
@@ -85,7 +89,7 @@ def test_candidate_exception_is_isolated_and_reverted():
     accepted, _, best, recs = bench.greedy_tune(
         t,
         [("A", True), ("B", True)],
-        scripted([10.0, RuntimeError("mosaic"), 7.0]),
+        scripted([10.0, RuntimeError("mosaic"), 7.0, 10.0]),
         lambda: (True, {}),
         budget_s=1e9,
         log=quiet,
@@ -101,7 +105,7 @@ def test_budget_exhaustion_skips_remaining_candidates():
     accepted, _, best, recs = bench.greedy_tune(
         t,
         [("A", True), ("B", True)],
-        scripted([10.0, 9.0]),
+        scripted([10.0, 9.0, 10.2]),
         lambda: (True, {}),
         budget_s=1000.0,
         now=lambda: next(clock),
@@ -117,7 +121,7 @@ def test_already_default_candidate_is_skipped_without_measuring():
     accepted, _, best, recs = bench.greedy_tune(
         t,
         [("A", True), ("B", True)],
-        scripted([10.0, 7.0]),  # baseline + B only — A must not burn a compile
+        scripted([10.0, 7.0, 10.0]),  # baseline + B's pair — A must not burn a compile
         lambda: (True, {}),
         budget_s=1e9,
         log=quiet,
@@ -135,6 +139,18 @@ def test_baseline_failure_returns_empty_and_touches_nothing():
     assert accepted == {} and base is None and best is None
     assert t.A is False
     assert recs[0]["status"] == "fail"
+
+
+def test_control_measure_exception_is_isolated():
+    t = flags(A=False)
+    # Candidate measures fine but the adjacent control measure dies — the
+    # candidate must be reverted and recorded as a failure.
+    accepted, _, best, recs = bench.greedy_tune(
+        t, [("A", True)], scripted([10.0, 8.0, RuntimeError("tunnel")]),
+        lambda: (True, {}), budget_s=1e9, log=quiet,
+    )
+    assert accepted == {} and t.A is False
+    assert recs[0]["status"] == "fail" and "tunnel" in recs[0]["error"]
 
 
 def test_tune_candidates_exist_on_fused_module():

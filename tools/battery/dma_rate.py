@@ -39,8 +39,11 @@ C = 256
 
 def _copy_kernel(x_ref, s_ref, o_ref):
     # The salt lands in one tile only; everything else is a pure copy.
+    # (i8 vector adds are unsupported in Mosaic: widen to i32, then cast.)
     o_ref[:] = x_ref[:]
-    o_ref[0:8, 0:128] = x_ref[0:8, 0:128] + s_ref[0:8, 0:128].astype(jnp.int8)
+    o_ref[0:8, 0:128] = (
+        x_ref[0:8, 0:128].astype(jnp.int32) + s_ref[0:8, 0:128].astype(jnp.int32)
+    ).astype(jnp.int8)
 
 
 def _read_kernel(x_ref, s_ref, o_ref):
@@ -53,7 +56,7 @@ def _read_kernel(x_ref, s_ref, o_ref):
 
 def _write_kernel(s_ref, o_ref):
     o_ref[:] = jnp.zeros_like(o_ref)
-    o_ref[0:8, 0:128] = s_ref[0:8, 0:128].astype(jnp.int8)
+    o_ref[0:8, 0:128] = s_ref[0:8, 0:128].astype(jnp.int32).astype(jnp.int8)
 
 
 def _run(kind, rows, bt_rows, iters):
