@@ -49,10 +49,19 @@ def salted(body, x):
     """Feedback is a FULL |sum| over the output: a GEMM/conv grad whose
     consumer is an (8,8) slice gets narrowed by XLA to 8 output rows (the
     first run of this probe printed 26e6 TF/s for dgrad); the abs-reduction
-    keeps every output element live and cannot be reassociated away."""
+    keeps every output element live and cannot be reassociated away.
+
+    The perturbation must be a dynamic-update-slice, NOT a scalar add: with
+    ``(x + eps) @ w`` XLA distributes and hoists the loop-invariant
+    ``x @ w`` out of the timing loop entirely (the 2026-08-19 run printed
+    843 and 59e6 TF/s for the two fwd rows this way — same trap class
+    health.py hit; the grad rows survived only by luck of the lowering)."""
 
     def fn(salt):
-        xx = x + (salt[0, 0] * 1e-30).astype(x.dtype)
+        upd = (salt * 1e-30).astype(x.dtype)
+        if x.ndim == 4:
+            upd = upd.reshape(1, 8, 8, 1)
+        xx = jax.lax.dynamic_update_slice(x, upd, (0,) * x.ndim)
         out = body(xx)
         return jnp.full((8, 8), jnp.sum(jnp.abs(out.astype(jnp.float32))))
 
