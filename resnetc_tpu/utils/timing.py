@@ -62,6 +62,7 @@ def chained_seconds_per_iter(
     iters: int = 20,
     feedback: Callable = default_feedback,
     warmup_runs: int = 1,
+    repeats: int = 1,
 ) -> float:
     """Marginal device seconds per execution of ``step_fn``.
 
@@ -69,6 +70,14 @@ def chained_seconds_per_iter(
     device-resident input batch).  Cost of ``feedback`` (one reduction over
     the output + one add over the carry) is included — keep the carry small
     relative to the step's own traffic or account for it.
+
+    ``repeats``: number of (base, full) sample pairs; the reported value is
+    the MEDIAN of the per-pair marginal costs.  One pair is fine when the
+    chain-length difference is tens of ms, but for sub-ms step costs the
+    difference (iters_delta * cost) can be smaller than the tunnel's RTT
+    jitter — a single pair then returns garbage, including negative diffs
+    (health.py printed 0.000 ms twice on 2026-08-19 this way).  Use
+    repeats>=5 for any probe whose step cost is under ~1 ms.
     """
     # The marginal cost needs two distinct chain lengths; iters=1 would
     # divide by zero below.
@@ -82,15 +91,22 @@ def chained_seconds_per_iter(
         float(run(carry0, nb))
         float(run(carry0, nf))
 
-    t0 = time.perf_counter()
-    float(run(carry0, nb))
-    t_base = time.perf_counter() - t0
+    diffs = []
+    for _ in range(max(int(repeats), 1)):
+        t0 = time.perf_counter()
+        float(run(carry0, nb))
+        t_base = time.perf_counter() - t0
 
-    t0 = time.perf_counter()
-    float(run(carry0, nf))
-    t_full = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        float(run(carry0, nf))
+        t_full = time.perf_counter() - t0
+        diffs.append(t_full - t_base)
 
-    return max((t_full - t_base) / (iters - base_iters), 1e-9)
+    diffs.sort()
+    med = diffs[len(diffs) // 2] if len(diffs) % 2 else (
+        (diffs[len(diffs) // 2 - 1] + diffs[len(diffs) // 2]) / 2
+    )
+    return max(med / (iters - base_iters), 1e-9)
 
 
 def fetch_seconds(fn: Callable, *args, samples: int = 20) -> list[float]:

@@ -35,7 +35,9 @@ def fn(salt):
         q["w3q"], q["sw3"], q["b3"], s, h=h, w_sp=h, emit_i8=True)
     return jax.lax.slice(out, (0, 0), (8, 8)).astype(jnp.float32)
 
-sec = chained_seconds_per_iter(fn, jnp.zeros((8, 8), jnp.float32), iters=16)
+sec = chained_seconds_per_iter(
+    fn, jnp.zeros((8, 8), jnp.float32), iters=16, repeats=5
+)
 print(f"health L1b1: {sec*1e3:.3f} ms ({'HEALTHY' if sec < 1.9e-3 else 'DEGRADED'})")
 
 # raw bf16 dot as a second, kernel-independent reference (~179 TF/s healthy).
@@ -52,6 +54,9 @@ def dot_chain(salt):
     )
     return jnp.sum((a2 @ b).astype(jnp.float32))
 
-sec2 = chained_seconds_per_iter(dot_chain, jnp.float32(0), iters=16)
+# Sub-ms step: a single two-point pair is inside the tunnel's RTT jitter
+# (two 0.000 ms readings on 2026-08-19) — median over repeated pairs at a
+# longer chain.
+sec2 = chained_seconds_per_iter(dot_chain, jnp.float32(0), iters=48, repeats=5)
 tf = 2 * 4096**3 / sec2 / 1e12
 print(f"health dot4096: {sec2*1e3:.3f} ms  {tf:.0f} TF/s ({'HEALTHY' if tf > 140 else 'DEGRADED'})")
