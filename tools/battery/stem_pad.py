@@ -25,13 +25,21 @@ def entry(xx, ww, cpad):
     yq = quantize_with_scale(y, s)
     return lax_ops.max_pool2d(yq, kernel_size=3, stride=2, padding=1)
 
+# Salt by dynamic-update-slice and feed back a FULL |sum| over the output:
+# a scalar-add salt distributes through the linear conv and XLA hoists the
+# loop-invariant conv out of the timing loop, and a sliced return lets XLA
+# narrow the conv to the consumed window (both traps measured on this
+# machine — see probe_train_bwd.py / health.py).
 for cpad in (0, 4, 8, 16):
     def fn(salt, cpad=cpad):
-        xx = x + (salt[0, 0] * 1e-30).astype(x.dtype)
+        upd = (salt * 1e-30).astype(x.dtype).reshape(1, 8, 8, 1)
+        xx = jax.lax.dynamic_update_slice(x, upd, (0, 0, 0, 0))
         out = entry(xx, w, cpad)
-        return jax.lax.slice(out, (0, 0, 0, 0), (8, 1, 1, 8)).reshape(8, 8).astype(jnp.float32)
+        return jnp.full((8, 8), jnp.sum(jnp.abs(out.astype(jnp.float32))))
     try:
-        sec = chained_seconds_per_iter(fn, jnp.zeros((8, 8), jnp.float32), iters=16)
+        sec = chained_seconds_per_iter(
+            fn, jnp.zeros((8, 8), jnp.float32), iters=16, repeats=5
+        )
         print(f"stem+q+pool cin_pad={cpad or 3}: {sec*1e3:.3f} ms", flush=True)
     except Exception as e:
         print(f"stem cin_pad={cpad}: FAIL {type(e).__name__}: {e}", flush=True)
@@ -45,8 +53,12 @@ bm = jnp.asarray(rng.standard_normal((4096, 4096), dtype=np.float32), jnp.bfloat
 for prec in ("default", "highest"):
     p = lax.Precision.DEFAULT if prec == "default" else lax.Precision.HIGHEST
     def fn(salt, p=p):
-        y = lax.dot_general(a, bm + (salt[0, 0] * 1e-30).astype(jnp.bfloat16),
-                            (((1,), (0,)), ((), ())), precision=p)
-        return jax.lax.slice(y, (0, 0), (8, 8)).astype(jnp.float32)
-    sec = chained_seconds_per_iter(fn, jnp.zeros((8, 8), jnp.float32), iters=16)
+        bm2 = jax.lax.dynamic_update_slice(
+            bm, (salt * 1e-30).astype(jnp.bfloat16), (0, 0)
+        )
+        y = lax.dot_general(a, bm2, (((1,), (0,)), ((), ())), precision=p)
+        return jnp.full((8, 8), jnp.sum(jnp.abs(y.astype(jnp.float32))))
+    sec = chained_seconds_per_iter(
+        fn, jnp.zeros((8, 8), jnp.float32), iters=48, repeats=5
+    )
     print(f"bf16 dot4096 precision={prec}: {sec*1e3:.3f} ms {2*4096**3/sec/1e12:.0f} TF/s", flush=True)

@@ -74,11 +74,16 @@ def main() -> int:
         return quantize_with_scale(jax.nn.relu(y), s_in)
 
     def salted(body):
+        # dynamic-update-slice salt + FULL |sum| feedback: a scalar-add salt
+        # distributes through the linear stem conv (XLA hoists the invariant
+        # conv out of the loop) and a sliced return lets XLA narrow dots to
+        # the consumed rows — both traps measured on this machine (see
+        # probe_train_bwd.py docstring / health.py).
         def fn(salt):
-            xx = x + (salt[0, 0] * 1e-30).astype(x.dtype)
+            upd = (salt * 1e-30).astype(x.dtype).reshape(1, 8, 8, 1)
+            xx = jax.lax.dynamic_update_slice(x, upd, (0, 0, 0, 0))
             out = body(xx)
-            flat = out.reshape(-1, out.shape[-1])
-            return jax.lax.slice(flat, (0, 0), (8, 8)).astype(jnp.float32)
+            return jnp.full((8, 8), jnp.sum(jnp.abs(out.astype(jnp.float32))))
 
         return fn
 
@@ -114,20 +119,23 @@ def main() -> int:
     fcb = folded["fc"]["bias"]
 
     def head(salt):
-        rr = rows_tail + (salt[0, 0] * 1e-30).astype(rows_tail.dtype)
+        rr = jax.lax.dynamic_update_slice(
+            rows_tail, (salt * 1e-30).astype(rows_tail.dtype), (0, 0)
+        )
         y = unpad_from_chain(rr, 256, 7, 7)
         feats = jnp.mean(y.astype(jnp.float32), axis=(1, 2)).astype(
             policy.compute
         )
         logits = feats @ fcw + fcb.astype(policy.compute)
-        return jax.lax.slice(logits, (0, 0), (8, 8)).astype(jnp.float32)
+        return jnp.full((8, 8), jnp.sum(jnp.abs(logits.astype(jnp.float32))))
 
     bench("head", head, salt0)
 
     def e2e(salt):
-        xx = x + (salt[0, 0] * 1e-30).astype(x.dtype)
+        upd = (salt * 1e-30).astype(x.dtype).reshape(1, 8, 8, 1)
+        xx = jax.lax.dynamic_update_slice(x, upd, (0, 0, 0, 0))
         out = fused_forward_int8_chain(cfg, qtree, scales, xx, policy=policy)
-        return jax.lax.slice(out, (0, 0), (8, 8)).astype(jnp.float32)
+        return jnp.full((8, 8), jnp.sum(jnp.abs(out.astype(jnp.float32))))
 
     sec = bench("e2e", e2e, salt0, iters=8)
     print(f"  e2e -> {256 / sec:.0f} img/s", flush=True)

@@ -146,14 +146,18 @@ def main() -> int:
         yb = jnp.asarray(np.arange(256, dtype=np.int32) % 1000)
 
         def fwd(salt):
-            xx = xb + (salt[0, 0] * 1e-30).astype(xb.dtype)
+            xx = jax.lax.dynamic_update_slice(
+                xb, (salt * 1e-30).astype(xb.dtype).reshape(1, 8, 8, 1), (0, 0, 0, 0)
+            )
             loss, _ = train_mod.loss_fn(
                 cfg, ts.params, ts.bn_state, xx, yb, policy=BF16
             )
             return jnp.full((8, 8), loss)
 
         def fwd_bwd(salt):
-            xx = xb + (salt[0, 0] * 1e-30).astype(xb.dtype)
+            xx = jax.lax.dynamic_update_slice(
+                xb, (salt * 1e-30).astype(xb.dtype).reshape(1, 8, 8, 1), (0, 0, 0, 0)
+            )
             (loss, _), grads = jax.value_and_grad(
                 lambda p: train_mod.loss_fn(
                     cfg, p, ts.bn_state, xx, yb, policy=BF16

@@ -73,7 +73,9 @@ def main() -> int:
     params, bn_state = ts.params, ts.bn_state
 
     def fwd(salt):
-        xx = x + (salt[0, 0] * 1e-30).astype(x.dtype)
+        xx = jax.lax.dynamic_update_slice(
+            x, (salt * 1e-30).astype(x.dtype).reshape(1, 8, 8, 1), (0, 0, 0, 0)
+        )
         loss, _ = train_mod.loss_fn(
             cfg, params, bn_state, xx, y, policy=BF16, remat=args.remat
         )
@@ -86,7 +88,9 @@ def main() -> int:
     variables = resnet.merge_params_state(params, bn_state)
 
     def eval_fwd(salt):
-        xx = x + (salt[0, 0] * 1e-30).astype(x.dtype)
+        xx = jax.lax.dynamic_update_slice(
+            x, (salt * 1e-30).astype(x.dtype).reshape(1, 8, 8, 1), (0, 0, 0, 0)
+        )
         logits, _ = resnet.forward(cfg, variables, xx, train=False, policy=BF16)
         return jnp.full((8, 8), jnp.sum(logits.astype(jnp.float32)))
 
@@ -95,7 +99,9 @@ def main() -> int:
 
     # --- fwd + bwd (no optimizer)
     def fwd_bwd(salt):
-        xx = x + (salt[0, 0] * 1e-30).astype(x.dtype)
+        xx = jax.lax.dynamic_update_slice(
+            x, (salt * 1e-30).astype(x.dtype).reshape(1, 8, 8, 1), (0, 0, 0, 0)
+        )
         (loss, _), grads = jax.value_and_grad(
             lambda p: train_mod.loss_fn(
                 cfg, p, bn_state, xx, y, policy=BF16, remat=args.remat
