@@ -256,12 +256,15 @@ def bench_throughput(
     *,
     steps: int = 20,
     warmup: int = 3,  # kept for API compat; the harness warms itself
+    repeats: int = 1,
 ) -> ThroughputResult:
     """Steady-state batched throughput, measured with the chained-loop +
     fetch harness (utils.timing): on this runtime ``block_until_ready``
     resolves before device execution finishes, so each timed iteration is a
     data-dependent loop step inside one jitted program and completion is
-    forced by a host fetch."""
+    forced by a host fetch.  ``repeats``: median over that many two-point
+    pairs (see timing.chained_seconds_per_iter) — use >=3 for recorded
+    headline numbers on the tunneled chip."""
     from resnetc_tpu.utils.timing import chained_seconds_per_iter
 
     del warmup
@@ -272,7 +275,9 @@ def bench_throughput(
     def step(x):
         return run(folded, x)
 
-    sec = chained_seconds_per_iter(step, images, iters=max(8, steps))
+    sec = chained_seconds_per_iter(
+        step, images, iters=max(8, steps), repeats=repeats
+    )
     return ThroughputResult(
         images_per_sec=images.shape[0] / sec,
         batch_size=images.shape[0],

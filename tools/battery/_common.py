@@ -74,13 +74,16 @@ def build_int8_chain(model: str, calib_batch: int = 8, calib_method: str = "absm
 
 
 def time_forward(cfg, qtree, scales, x, *, iters: int = 12) -> float:
-    """Honest chained seconds/iter of the int8_chain forward."""
+    """Honest chained seconds/iter of the int8_chain forward.  Median over 3
+    two-point pairs: the tune decisions sit at the 1% level, and one pair's
+    chain-length diff (~330 ms at b256) carries ~1% of tunnel RTT jitter."""
     interp = _interpret()
     return chained_seconds_per_iter(
         lambda xx: fused.fused_forward_int8_chain(
             cfg, qtree, scales, xx, interpret=interp
         ),
         x, iters=min(iters, 2) if SMOKE else iters,
+        repeats=1 if SMOKE else 3,
     )
 
 
