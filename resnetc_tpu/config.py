@@ -39,7 +39,7 @@ class RunConfig:
     data_dim: int = 1  # mesh data axis
     model_dim: int = 1  # mesh model axis (channel TP)
     calib_method: str = "absmax"  # int8 calibration: absmax | percentile | mse
-    calib_per_channel: bool = True  # per-channel interior activation scales
+    calib_per_channel: bool = False  # per-channel interior activation scales
     seed: int = 0
     # Multi-HOST (one process per host): set multihost (auto-detect on TPU
     # pods) or pass the explicit coordinator triple; see
@@ -73,11 +73,12 @@ def add_run_args(p: argparse.ArgumentParser) -> None:
     )
     p.add_argument(
         "--calib-per-channel", action=argparse.BooleanOptionalAction,
-        default=True,
+        default=False,
         help="per-channel scales at the interior int8 sites (baked into "
         "host constants — identical compiled program, only constant "
-        "values change; measured -36%% e2e quant error on resnet50). "
-        "On by default; --no-calib-per-channel reverts to per-tensor",
+        "values change). Off by default: the on-chip A/B on a held-out "
+        "real-fixture mix measured per-tensor absmax best "
+        "(tools/battery/calib_ab.py)",
     )
     p.add_argument("--data-dim", type=int, default=1, help="mesh data-parallel axis size")
     p.add_argument("--model-dim", type=int, default=1, help="mesh channel-TP axis size")
@@ -120,7 +121,7 @@ def run_config_from_args(args: argparse.Namespace) -> RunConfig:
         data_dim=args.data_dim,
         model_dim=args.model_dim,
         calib_method=args.calib_method,
-        calib_per_channel=getattr(args, "calib_per_channel", True),
+        calib_per_channel=getattr(args, "calib_per_channel", False),
         seed=args.seed,
         multihost=multihost,
         coordinator=getattr(args, "coordinator", None),

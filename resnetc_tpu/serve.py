@@ -45,7 +45,7 @@ class InferenceEngine:
         backend: str = "xla",
         calib_batch: jax.Array | None = None,
         calib_method: str = "absmax",
-        calib_per_channel: bool = True,
+        calib_per_channel: bool = False,
         mesh: Any | None = None,
     ):
         """``mesh`` (with a 'data' axis) enables data-parallel serving for
@@ -111,10 +111,15 @@ class InferenceEngine:
             # 99.9th percentile of |act| — robust when real data carries
             # rare outlier activations (the kernels clamp, so outliers
             # saturate instead of stretching the int8 grid).
-            # calib_per_channel=True additionally gives the interior sites
-            # per-channel scale vectors, baked entirely into host constants
-            # (bake_interior_scales) — measured -36% e2e quant error on
-            # resnet50, zero kernel/runtime change.
+            # calib_per_channel=True gives the interior sites per-channel
+            # scale vectors, baked entirely into host constants
+            # (bake_interior_scales) — identical compiled program.  Default
+            # OFF: the on-chip calibration A/B on a held-out real-fixture
+            # mix (tools/battery/calib_ab.py, 2026-08-19) measured per-
+            # tensor absmax BEST (rel-MAE 0.0162 / top-5 0.984 vs 0.0173 /
+            # 0.953 per-channel; percentile 0.042+).  The earlier CPU
+            # result favoring per-channel evaluated on its own calibration
+            # batch — overfit to the calib set.
             scales = calibrate_chain_scales(
                 model_cfg, folded, calib_batch, policy=policy,
                 method=calib_method,

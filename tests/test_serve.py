@@ -103,26 +103,28 @@ def test_multihost_flags_rejected_outside_train():
         _build_engine(run)
 
 
-def test_engine_int8_chain_default_per_channel_bake(rng):
-    """The int8_chain engine bakes per-channel interior scales by default:
-    runtime z1/z2 scales must be 1.0 scalars (proof the bake ran) and the
-    engine must still classify (logits finite, stable argmax)."""
+def test_engine_int8_chain_per_channel_optin_bake(rng):
+    """Default calibration is per-tensor absmax (the on-chip A/B winner on
+    a held-out real-fixture mix — tools/battery/calib_ab.py): interior
+    z1/z2 scales are real (non-1.0) scalars.  Opting in to per-channel
+    bakes the vectors into host constants, leaving 1.0 runtime scalars,
+    and the engine must still classify (logits finite)."""
     cfg = resnet.get_config("resnet18", num_classes=11)
     variables = resnet.init(cfg, jax.random.key(0))
     calib = jnp.asarray(
         rng.standard_normal((2, 32, 32, 3), dtype=np.float32)
     )
+    eng_pt = InferenceEngine(
+        cfg, variables, backend="int8_chain", calib_batch=calib,
+    )
+    assert float(eng_pt._chain_scales["layer1"]["0"]["z1"]) != 1.0
+    # Opt-in: the bake runs and zeroes out the runtime interior scales.
     eng = InferenceEngine(
         cfg, variables, backend="int8_chain", calib_batch=calib,
+        calib_per_channel=True,
     )
     st = eng._chain_scales["layer1"]["0"]
     assert st["z1"].shape == () and float(st["z1"]) == 1.0
     x = jnp.asarray(rng.standard_normal((2, 32, 32, 3), dtype=np.float32))
     logits = np.asarray(eng._fn()(eng.folded, x), np.float32)
     assert logits.shape == (2, 11) and np.isfinite(logits).all()
-    # And the opt-out still works and gives real (non-1.0) interior scales.
-    eng_pt = InferenceEngine(
-        cfg, variables, backend="int8_chain", calib_batch=calib,
-        calib_per_channel=False,
-    )
-    assert float(eng_pt._chain_scales["layer1"]["0"]["z1"]) != 1.0

@@ -361,7 +361,12 @@ def _():
     return rel_mae(got, ref)
 
 
-@check("fused_forward_int8 vs XLA logits (argmax only + loose MAE)", 0.35)
+# int8 e2e gates: tightened from the provisional 0.35 to ~2x the values
+# measured on chip 2026-08-19 (int8 1.65e-2, chain 1.55e-2, bake 1.73e-2,
+# basic-ds 2.41e-2, basic 1.49e-2 — VERIFY_TPU.json).  rel-MAE here is
+# deterministic per seed/config; the 2x headroom absorbs bt-table or
+# accumulation-order shifts, not real regressions.
+@check("fused_forward_int8 vs XLA logits (argmax only + loose MAE)", 0.04)
 def _():
     from resnetc_tpu.ops.pallas.fused import fused_forward_int8
     from resnetc_tpu.ops.pallas.quant import quantize_folded
@@ -378,7 +383,7 @@ def _():
     return rel_mae(got, ref)
 
 
-@check("fused_forward_int8_chain vs XLA logits (argmax + loose MAE)", 0.35)
+@check("fused_forward_int8_chain vs XLA logits (argmax + loose MAE)", 0.04)
 def _():
     from resnetc_tpu.ops.pallas import fused
     from resnetc_tpu.tensor import BF16
@@ -490,7 +495,7 @@ def _():
     return 0.0
 
 
-@check("int8_chain per-channel interior bake (engine default) vs XLA", 0.2)
+@check("int8_chain per-channel interior bake (opt-in) vs XLA", 0.04)
 def _():
     from resnetc_tpu.ops.pallas import fused
     from resnetc_tpu.tensor import BF16
@@ -512,7 +517,7 @@ def _():
     return rel_mae(got, ref)
 
 
-@check("int8_chain basic-ds transitions (resnet18) vs XLA logits", 0.35)
+@check("int8_chain basic-ds transitions (resnet18) vs XLA logits", 0.05)
 def _():
     from resnetc_tpu.models import resnet
     from resnetc_tpu.ops.pallas import fused
@@ -547,7 +552,7 @@ def _():
     return rel_mae(got, ref)
 
 
-@check("int8_chain basic family (resnet18) vs XLA logits", 0.35)
+@check("int8_chain basic family (resnet18) vs XLA logits", 0.04)
 def _():
     from resnetc_tpu.models import resnet
     from resnetc_tpu.ops.pallas import fused
