@@ -74,21 +74,39 @@ def conv1x1_fused(
     return out.reshape(b, h, ww, cout)
 
 
-def _pick_batch_tile(b: int, rows_per_image: int, cin: int, tn: int) -> int:
-    """Largest divisor of B fitting the working set in VMEM.
+def _pick_batch_tile(
+    b: int,
+    rows_per_image: int,
+    cin: int,
+    tn: int,
+    *,
+    w_block_bytes: int = 0,
+    out_bufs: int = 1,
+    itemsize: int = 2,
+) -> int:
+    """Largest divisor of B whose full Mosaic stack fits scoped VMEM.
 
-    Per grid step the kernel holds: the input block (rows x cin bf16), one
-    shifted-slice temporary of the same size, and the fp32 accumulator
-    (rows x tn) — budgeted to ~6MB so Mosaic's double buffering and the
-    output tile fit inside the 16MB/core VMEM."""
-    budget = 6 * 2**20
+    Per grid step the stack holds: the double-buffered input block
+    (rows x cin), the widest in-kernel shifted-slice temporary, the fp32
+    accumulator plus one fp32 dot temporary (rows x tn each), the
+    double-buffered output block(s) (``out_bufs`` = 2 when a residual
+    operand streams in alongside the output), and the double-buffered
+    weight block (``w_block_bytes``).  Budgeted to 13MB of the 16MB/core
+    scoped VMEM limit — the old 6MB input+acc heuristic ignored the weight
+    and output blocks and Mosaic OOM'd at (256,7,7,512)+residual with
+    16.22M (the resnet18 b256 L4 transition conv, 2026-08-19)."""
+    budget = 13 * 2**20 - 2 * w_block_bytes
+    per_row = (
+        2 * cin * itemsize          # input block, double-buffered
+        + cin * itemsize            # shifted-slice temporary
+        + 2 * tn * 4                # fp32 accumulator + dot result
+        + out_bufs * 2 * tn * itemsize  # output (+residual) blocks, dbl
+    )
     best = 1
     for bt in range(1, b + 1):
         if b % bt:
             continue
-        rows = bt * rows_per_image
-        working_set = 2 * rows * cin * 2 + rows * tn * 4
-        if working_set > budget:
+        if bt * rows_per_image * per_row > budget:
             break
         best = bt
     return best
@@ -162,7 +180,12 @@ def conv3x3_s1_fused(
             residual = jnp.pad(residual, ((0, 0),) * 3 + ((0, coutp - cout),))
 
     wp = w_sp + 2
-    bt = bt or _pick_batch_tile(b, (h + 2) * wp, cin, tn)
+    bt = bt or _pick_batch_tile(
+        b, (h + 2) * wp, cin, tn,
+        w_block_bytes=9 * cin * tn * x.dtype.itemsize,
+        out_bufs=2 if residual is not None else 1,
+        itemsize=x.dtype.itemsize,
+    )
 
     # Rows needed by the furthest shift (kh=kw=2) plus store slack; grow the
     # bottom zero-padding until the padded image grid covers them.
@@ -310,7 +333,11 @@ def conv_s2_fused(
     # (multiples of wq) stay aligned.
     max_off = (k - 1) // 2  # largest u//2 (and v//2) plane offset
     wq = _round_up(ow + max_off, 8)
-    bt = bt or _pick_batch_tile(b, (oh + max_off) * wq, 4 * cin, tn)
+    bt = bt or _pick_batch_tile(
+        b, (oh + max_off) * wq, 4 * cin, tn,
+        w_block_bytes=k * k * cin * tn * x.dtype.itemsize,
+        itemsize=x.dtype.itemsize,
+    )
     extra = 0
     while True:
         hq = oh + max_off + extra

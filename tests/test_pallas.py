@@ -1628,3 +1628,27 @@ def test_per_channel_bake_basic_ds_branch(rng, monkeypatch):
         rel = np.mean(np.abs(got - ref)) / np.mean(np.abs(ref))
         assert rel < 0.05, (flag, rel)
         assert (got.argmax(-1) == ref.argmax(-1)).mean() >= 0.9, flag
+
+
+def test_pick_batch_tile_full_stack_fits_scoped_vmem():
+    """The conv bt picker must model the FULL Mosaic stack (double-buffered
+    input/output/weight blocks + accumulator + in-kernel temporaries), not
+    just input+acc: at the resnet18 b256 L4 transition conv shape
+    ((256,7,7,512) + residual) the old 6MB input+acc heuristic chose bt=16,
+    whose real stack Mosaic priced at 16.22MB > the 16MB scoped limit
+    (chip compile failure, 2026-08-19).  bt=8's stack is ~8MB."""
+    from resnetc_tpu.ops.pallas.conv import _pick_batch_tile
+
+    bt = _pick_batch_tile(
+        256, 81, 512, 256,
+        w_block_bytes=9 * 512 * 256 * 2, out_bufs=2, itemsize=2,
+    )
+    assert bt <= 8 and 256 % bt == 0, bt
+    # The measured tiles at the healthy-path shapes must not shrink (these
+    # pin the bf16 pallas backend's round-2 measured configs).
+    assert _pick_batch_tile(256, 58 * 58, 64, 128,
+                            w_block_bytes=9 * 64 * 128 * 2) == 2
+    assert _pick_batch_tile(256, 30 * 30, 128, 128,
+                            w_block_bytes=9 * 128 * 128 * 2) == 4
+    assert _pick_batch_tile(256, 16 * 16, 256, 256,
+                            w_block_bytes=9 * 256 * 256 * 2) == 8
