@@ -29,9 +29,9 @@ from jax import lax
 
 def _build(step_fn: Callable, feedback: Callable):
     @jax.jit
-    def run(carry, iters):
+    def run(carry, iters, *consts):
         def body(_, c):
-            out = step_fn(c)
+            out = step_fn(c, *consts)
             return feedback(c, out)
 
         # Dynamic trip count: ONE compiled program serves both the base and
@@ -63,13 +63,21 @@ def chained_seconds_per_iter(
     feedback: Callable = default_feedback,
     warmup_runs: int = 1,
     repeats: int = 1,
+    consts: tuple = (),
 ) -> float:
     """Marginal device seconds per execution of ``step_fn``.
 
-    step_fn: carry -> output (pure, jittable); carry0: initial carry (e.g. a
-    device-resident input batch).  Cost of ``feedback`` (one reduction over
-    the output + one add over the carry) is included — keep the carry small
-    relative to the step's own traffic or account for it.
+    step_fn: (carry, *consts) -> output (pure, jittable); carry0: initial
+    carry (e.g. a device-resident input batch).  Cost of ``feedback`` (one
+    reduction over the output + one add over the carry) is included — keep
+    the carry small relative to the step's own traffic or account for it.
+
+    ``consts``: loop-invariant device arrays (weights, input batches)
+    passed as jit ARGUMENTS rather than closed over.  A closed-over
+    jax.Array is shipped inside the serialized compile request on this
+    tunneled runtime — a b384 image batch + resnet50 params exceeded the
+    axon remote_compile body limit (HTTP 413, 2026-08-19).  Anything
+    bigger than a few MB belongs here, not in a closure.
 
     ``repeats``: number of (base, full) sample pairs; the reported value is
     the MEDIAN of the per-pair marginal costs.  One pair is fine when the
@@ -88,17 +96,17 @@ def chained_seconds_per_iter(
     nf = jnp.int32(iters)
 
     for _ in range(warmup_runs):
-        float(run(carry0, nb))
-        float(run(carry0, nf))
+        float(run(carry0, nb, *consts))
+        float(run(carry0, nf, *consts))
 
     diffs = []
     for _ in range(max(int(repeats), 1)):
         t0 = time.perf_counter()
-        float(run(carry0, nb))
+        float(run(carry0, nb, *consts))
         t_base = time.perf_counter() - t0
 
         t0 = time.perf_counter()
-        float(run(carry0, nf))
+        float(run(carry0, nf, *consts))
         t_full = time.perf_counter() - t0
         diffs.append(t_full - t_base)
 
