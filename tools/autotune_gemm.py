@@ -83,27 +83,42 @@ def main() -> int:
         salt0 = jnp.zeros((1, 1), jnp.float32)
         tf = lambda s: 2 * m * k * n / s / 1e12
 
+        # Chain length sized so the two-point diff is ~50+ ms even at MXU
+        # peak — the fc shape is ~10 us/iter and a 16-iter chain's diff is
+        # far inside tunnel RTT jitter (the r4 run printed 0.000 ms rows
+        # and 6e5x ratios).  Median over repeated pairs on top.
+        est = 2 * m * k * n / 60e12
+        iters = max(16, min(4096, int(0.06 / est)))
+
         def xla_fn(salt):
-            xx = x + (salt.sum() * 1e-30).astype(x.dtype)
+            # dynamic-update-slice salt: a scalar add distributes through
+            # the dot and XLA hoists the loop-invariant x@w entirely.
+            xx = jax.lax.dynamic_update_slice(
+                x, (salt * 1e-30).astype(x.dtype), (0, 0)
+            )
             out = jax.lax.dot_general(
                 xx, w, dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
             return jnp.sum(jnp.abs(out)).reshape(1, 1)
 
-        sec_x = chained_seconds_per_iter(xla_fn, salt0, iters=16)
+        sec_x = chained_seconds_per_iter(xla_fn, salt0, iters=iters, repeats=3)
         print(f"== {name} ({m},{k})x({k},{n})  xla {sec_x*1e3:7.3f} ms "
               f"({tf(sec_x):6.1f} TF/s)", flush=True)
 
         results = []
         for tm, tn, tk in candidates(m, k, n):
             def pallas_fn(salt, tm=tm, tn=tn, tk=tk):
-                xx = x + (salt.sum() * 1e-30).astype(x.dtype)
+                xx = jax.lax.dynamic_update_slice(
+                    x, (salt * 1e-30).astype(x.dtype), (0, 0)
+                )
                 out = matmul(xx, w, tm=tm, tn=tn, tk=tk)
                 return jnp.sum(jnp.abs(out.astype(jnp.float32))).reshape(1, 1)
 
             try:
-                sec = chained_seconds_per_iter(pallas_fn, salt0, iters=16)
+                sec = chained_seconds_per_iter(
+                    pallas_fn, salt0, iters=iters, repeats=3
+                )
             except Exception as e:
                 print(f"   ({tm:5d},{tn:4d},{tk:4d})  FAIL {type(e).__name__}",
                       flush=True)
