@@ -38,6 +38,24 @@ EPS = 1e-5  # BatchNorm epsilon, fixed to the reference's value (cuda/ops.cu:150
 # training mode (the reference is inference-only; this is new surface).
 BN_MOMENTUM = 0.1
 
+#: MXU precision for sub-fp32 (bf16) operands.  fp32 operands ALWAYS get
+#: HIGHEST — the lax default silently downcasts and the fp32 policy is the
+#: torch-parity mode.  For bf16 operands HIGHEST is NOT free: the on-chip
+#: probe (tools/battery/stem_pad.py, 2026-08-19) measured a 4096^3 bf16 dot
+#: at 227 TF/s DEFAULT vs 188 TF/s HIGHEST (-17%) — DEFAULT is the single
+#: MXU pass (bf16 multiply, fp32 accumulate), which is already the bf16
+#: policy's semantics.  Module-level so the battery can A/B it.
+BF16_PRECISION = lax.Precision.DEFAULT
+
+
+def _precision(*operands) -> lax.Precision:
+    """HIGHEST for fp32 math, BF16_PRECISION for bf16-class operands."""
+    return (
+        lax.Precision.HIGHEST
+        if any(o.dtype == jnp.float32 for o in operands)
+        else BF16_PRECISION
+    )
+
 
 def _conv_prim(
     x: jax.Array,
@@ -47,9 +65,10 @@ def _conv_prim(
     accum_dtype: jnp.dtype | None,
     groups: int = 1,
 ) -> jax.Array:
-    # precision=HIGHEST: dtype policy owns precision (bf16 fast path = bf16
-    # arrays); fp32 inputs must actually compute in fp32, not the silently
-    # downcast lax default.
+    # Precision follows the operand dtype (see _precision): fp32 inputs
+    # must actually compute in fp32, not the silently downcast lax
+    # default; bf16 inputs take the single-MXU-pass DEFAULT (HIGHEST
+    # measured -17% on bf16 dots with identical bf16-policy semantics).
     return lax.conv_general_dilated(
         x,
         w,
@@ -58,7 +77,7 @@ def _conv_prim(
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         feature_group_count=groups,
         preferred_element_type=accum_dtype,
-        precision=lax.Precision.HIGHEST,
+        precision=_precision(x, w),
     )
 
 
@@ -185,7 +204,7 @@ def linear(
         w,
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=accum_dtype,
-        precision=lax.Precision.HIGHEST,
+        precision=_precision(x, w),
     )
     if b is not None:
         out = out + b.astype(accum_dtype)
