@@ -167,13 +167,31 @@ def greedy_tune(
             rec = {"flag": name, "value": value, "ms": round(sec * 1e3, 3),
                    "control_ms": round(ctrl * 1e3, 3)}
             if sec < ctrl * (1.0 - min_win):
+                # Confirmation pair: a transient weather spike on ONE side
+                # of the A/B fakes a >1% win (measured: a 30 ms control vs
+                # 23.4 everywhere else "accepted" STEM_CIN_PAD, 2026-08-19).
+                # The win must reproduce on a second adjacent pair.
+                setattr(target, name, value)
+                sec2 = measure()
+                setattr(target, name, defaults[name])
+                ctrl2 = measure()
+                rec["confirm_ms"] = round(sec2 * 1e3, 3)
+                rec["confirm_control_ms"] = round(ctrl2 * 1e3, 3)
+                if sec2 >= ctrl2 * (1.0 - min_win):
+                    rec["status"] = "rejected-unconfirmed"
+                    records.append(rec)
+                    log(f"tune: {name}={value}: {rec['ms']} ms (control"
+                        f" {rec['control_ms']}) won, but confirm pair"
+                        f" {rec['confirm_ms']} vs {rec['confirm_control_ms']}"
+                        " did not reproduce [rejected-unconfirmed]")
+                    continue
                 setattr(target, name, value)
                 ok, info = parity()
                 rec["parity"] = info
                 if ok:
                     rec["status"] = "accepted"
                     accepted[name] = value
-                    best = sec
+                    best = min(sec, sec2)
                 else:
                     rec["status"] = "parity-fail"
                     setattr(target, name, defaults[name])

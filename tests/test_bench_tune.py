@@ -41,13 +41,14 @@ def quiet(_msg):
 
 def test_accepts_winner_and_keeps_it_set():
     t = flags(A=False, B=False)
-    # baseline 10s; A wins its pair (8 vs control 10, parity ok); B loses
-    # its pair (8.5 vs control 8.0).  Each measured candidate consumes TWO
-    # scripted values: candidate then adjacent incumbent control.
+    # baseline 10s; A wins its pair (8 vs control 10), REPRODUCES on the
+    # confirmation pair (8 vs 10), parity ok; B loses its pair (8.5 vs
+    # control 8.0).  A measured candidate consumes candidate+control, and a
+    # would-accept consumes a second confirmation pair.
     accepted, base, best, recs = bench.greedy_tune(
         t,
         [("A", True), ("B", True)],
-        scripted([10.0, 8.0, 10.0, 8.5, 8.0]),
+        scripted([10.0, 8.0, 10.0, 8.0, 10.0, 8.5, 8.0]),
         lambda: (True, {"argmax_match": 1.0}),
         budget_s=1e9,
         log=quiet,
@@ -75,7 +76,7 @@ def test_marginal_win_below_threshold_is_rejected():
 def test_parity_failure_reverts_even_on_speed_win():
     t = flags(A=False)
     accepted, _, best, recs = bench.greedy_tune(
-        t, [("A", True)], scripted([10.0, 5.0, 10.0]),
+        t, [("A", True)], scripted([10.0, 5.0, 10.0, 5.0, 10.0]),
         lambda: (False, {"argmax_match": 0.5}), budget_s=1e9, log=quiet,
     )
     assert accepted == {} and best == 10.0 and t.A is False
@@ -89,7 +90,7 @@ def test_candidate_exception_is_isolated_and_reverted():
     accepted, _, best, recs = bench.greedy_tune(
         t,
         [("A", True), ("B", True)],
-        scripted([10.0, RuntimeError("mosaic"), 7.0, 10.0]),
+        scripted([10.0, RuntimeError("mosaic"), 7.0, 10.0, 7.0, 10.0]),
         lambda: (True, {}),
         budget_s=1e9,
         log=quiet,
@@ -105,7 +106,7 @@ def test_budget_exhaustion_skips_remaining_candidates():
     accepted, _, best, recs = bench.greedy_tune(
         t,
         [("A", True), ("B", True)],
-        scripted([10.0, 9.0, 10.2]),
+        scripted([10.0, 9.0, 10.2, 9.0, 10.2]),
         lambda: (True, {}),
         budget_s=1000.0,
         now=lambda: next(clock),
@@ -121,7 +122,7 @@ def test_already_default_candidate_is_skipped_without_measuring():
     accepted, _, best, recs = bench.greedy_tune(
         t,
         [("A", True), ("B", True)],
-        scripted([10.0, 7.0, 10.0]),  # baseline + B's pair — A must not burn a compile
+        scripted([10.0, 7.0, 10.0, 7.0, 10.0]),  # baseline + B's pairs — A must not burn a compile
         lambda: (True, {}),
         budget_s=1e9,
         log=quiet,
@@ -164,3 +165,18 @@ def test_tune_candidates_exist_on_fused_module():
         assert value != default, (
             f"candidate {name}={value} equals the default — dead A/B"
         )
+
+
+def test_unconfirmed_win_is_rejected():
+    """A transient weather spike on one side of the first pair fakes a win
+    (measured: a 30 ms control vs ~23.4 everywhere else "accepted"
+    STEM_CIN_PAD on 2026-08-19); the confirmation pair must catch it."""
+    t = flags(A=False)
+    accepted, _, best, recs = bench.greedy_tune(
+        t, [("A", True)], scripted([10.0, 8.0, 10.0, 10.0, 10.0]),
+        lambda: (True, {}), budget_s=1e9, log=quiet,
+    )
+    assert accepted == {} and t.A is False
+    assert recs[0]["status"] == "rejected-unconfirmed"
+    assert recs[0]["confirm_ms"] == 10000.0
+    assert recs[0]["confirm_control_ms"] == 10000.0
