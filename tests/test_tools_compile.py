@@ -28,9 +28,10 @@ def test_tool_compiles(path, tmp_path):
     py_compile.compile(str(path), cfile=str(tmp_path / "out.pyc"), doraise=True)
 
 
-def test_battery_script_legs_exist():
-    """Every .py file battery.sh invokes must exist at the stated path."""
-    sh = (REPO / "tools/battery/battery.sh").read_text()
+@pytest.mark.parametrize("script", ["battery.sh", "battery2.sh"])
+def test_battery_script_legs_exist(script):
+    """Every .py file a battery script invokes must exist at the stated path."""
+    sh = (REPO / "tools/battery" / script).read_text()
     missing = []
     for tok in sh.split():
         tok = tok.strip("()'\",;:")
@@ -40,4 +41,4 @@ def test_battery_script_legs_exist():
                 p = REPO / tok
             if not p.exists():
                 missing.append(tok)
-    assert not missing, f"battery.sh references missing scripts: {missing}"
+    assert not missing, f"{script} references missing scripts: {missing}"
