@@ -78,6 +78,7 @@ ROOFLINE_FRACTION = 0.8  # the BASELINE.json target (against the bf16 roofline)
 #: omitted: it only affects the basic (resnet18/34) family, not the
 #: resnet50 headline.
 TUNE_CANDIDATES = [
+    ("CHAIN_PIPE_DMA", True),
     ("STAGE_FUSE_PROJ", True),
     ("DS_CONV3_ONEDOT", True),
     ("DS_PAIR_DMA", True),
@@ -395,6 +396,23 @@ def main() -> None:
         iters=32 if on_tpu else 4,
     )
 
+    # Machine-weather stamp: the same-window bare-copy rate (GB/s).  The
+    # tunneled chip's effective HBM rate drifts 1.7-3x over tens of minutes
+    # (PERF.md round 4) and the DMA-bound int8_chain backend tracks it —
+    # recording the rate alongside the headline lets a reader separate
+    # engine regressions from machine weather (healthy windows measure
+    # ~600+ GB/s on this pattern; degraded ones 250-350).
+    window_copy_gbs = None
+    if on_tpu:
+        try:
+            sys.path.insert(0, os.path.join(os.path.dirname(__file__), "tools"))
+            from roofline_attrib import measure_copy_rate_gbs
+
+            window_copy_gbs = round(measure_copy_rate_gbs(batch), 1)
+        except Exception as e:
+            print(f"bench: weather stamp failed: {type(e).__name__}: {e}",
+                  file=sys.stderr)
+
     flops = model_flops(cfg, image_size)
     peaks = PEAK_FLOPS.get(platform)
     if best_backend in INT8_BACKENDS:
@@ -471,6 +489,7 @@ def main() -> None:
         "device_latency_ms": round(device_lat_s * 1e3, 3),
         "local_p50_ms": round(local_lat.p50_ms, 3),
         "gflops_per_image": round(flops / 1e9, 2),
+        "window_copy_gbs": window_copy_gbs,
         "train_images_per_sec": round(train_ips, 2),
         # On-the-spot flag tuning record (None off-TPU / when disabled):
         # which armed fused.py flags won their A/B + parity gate this run.

@@ -603,7 +603,85 @@ def _chained_kernel_int8_mdma(
     )
 
 
-@functools.partial(jax.jit, static_argnames=("h", "w_sp", "emit_i8", "bt", "interpret", "manual_dma", "emit_mean", "conv2_chunked"))
+def _chained_kernel_int8_pipe(
+    x_hbm_ref, *refs,
+    bt, hp, wp, c, c4, slot, emit_i8, has_ds,
+):
+    """Fully-manual double-buffered DMA twin of _chained_kernel_int8: BOTH
+    the input row stream AND the output row stream are in-kernel async
+    copies (x and o live in HBM/ANY).
+
+    Why this exists: the chain kernels measure DMA + compute SERIAL per
+    grid step (L1b1 healthy 1.53 ms ≈ 0.6 ms p0 copy floor + 0.9 ms compute
+    — tools/probe_chain_phases, PERF.md round 3), yet a copy kernel can hide
+    70-85% of independent dot time on this part.  The mdma variant
+    manualized only the INPUT stream and measured neutral — so if the
+    serializer is the auto-pipeline's OUTPUT window flush (step i+1's body
+    gated on step i's out-buffer swap), only manualizing both streams
+    removes it: step i computes into obuf[i%2] and fires its store DMA,
+    step i+1 computes immediately into obuf[(i+1)%2], and the only wait on
+    the store is two steps later when the buffer is reused.
+    """
+    if has_ds:
+        (w1, b1_, w2p, b2_, w3, b3_, msk, s1, s2p, s3,
+         wd, sd, bd_, s, o_hbm, z1, xbuf, obuf, isems, osems) = refs
+    else:
+        (w1, b1_, w2p, b2_, w3, b3_, msk, s1, s2p, s3,
+         s, o_hbm, z1, xbuf, obuf, isems, osems) = refs
+        wd = sd = bd_ = None
+    rows = bt * hp * wp
+    i = pl.program_id(0)
+    n = pl.num_programs(0)
+
+    def in_dma(step, buf):
+        return pltpu.make_async_copy(
+            x_hbm_ref.at[pl.ds(step * rows, rows), :], xbuf.at[buf],
+            isems.at[buf],
+        )
+
+    def out_dma(step, buf):
+        return pltpu.make_async_copy(
+            obuf.at[buf], o_hbm.at[pl.ds(step * rows, rows), :],
+            osems.at[buf],
+        )
+
+    @pl.when(i == 0)
+    def _():
+        in_dma(0, 0).start()
+
+    @pl.when(i + 1 < n)
+    def _():
+        in_dma(i + 1, (i + 1) % 2).start()
+
+    cur = i % 2
+    in_dma(i, cur).wait()
+
+    # obuf[cur]'s previous flight (step i-2) must land before the body
+    # overwrites the buffer.
+    @pl.when(i >= 2)
+    def _():
+        out_dma(i - 2, cur).wait()
+
+    _chained_kernel_int8(
+        xbuf.at[cur], w1, b1_, w2p, b2_, w3, b3_, msk, s1, s2p, s3, s,
+        obuf.at[cur], z1,
+        bt=bt, hp=hp, wp=wp, c=c, c4=c4, slot=slot, emit_i8=emit_i8,
+        wd_ref=wd, swd_ref=sd, bd_ref=bd_,
+    )
+
+    out_dma(i, cur).start()
+
+    # Drain on the final step: up to two stores still in flight.
+    @pl.when((i == n - 1) & (n >= 2))
+    def _():
+        out_dma(i - 1, (i - 1) % 2).wait()
+
+    @pl.when(i == n - 1)
+    def _():
+        out_dma(i, cur).wait()
+
+
+@functools.partial(jax.jit, static_argnames=("h", "w_sp", "emit_i8", "bt", "interpret", "manual_dma", "emit_mean", "conv2_chunked", "pipe_dma"))
 def bottleneck_block_chained_int8(
     xq: jax.Array,
     w1q: jax.Array, sw1: jax.Array, b1: jax.Array,
@@ -618,6 +696,7 @@ def bottleneck_block_chained_int8(
     manual_dma: bool = False,
     emit_mean: bool = False,
     conv2_chunked: bool = False,
+    pipe_dma: bool = False,
     wdq: jax.Array | None = None,
     swd: jax.Array | None = None,
     bd: jax.Array | None = None,
@@ -649,6 +728,9 @@ def bottleneck_block_chained_int8(
     )
     assert not (manual_dma and conv2_chunked), (
         "manual_dma fixes the compute body; use one variant at a time"
+    )
+    assert not (pipe_dma and (manual_dma or emit_mean or conv2_chunked)), (
+        "pipe_dma is its own full-DMA variant; combine with nothing"
     )
     hp, wp = chain_meta(0, h, w_sp)
     total_rows, cin_in = xq.shape
@@ -759,10 +841,26 @@ def bottleneck_block_chained_int8(
             pltpu.VMEM((2, rows, cin), jnp.int8),  # double-buffered x rows
             pltpu.SemaphoreType.DMA((2,)),
         ]
+    elif pipe_dma:
+        in_specs[0] = pl.BlockSpec(memory_space=pl.ANY)
+        kernel = functools.partial(
+            _chained_kernel_int8_pipe,
+            bt=bt, hp=hp, wp=wp, c=c, c4=c4, slot=slot, emit_i8=emit_i8,
+            has_ds=has_ds,
+        )
+        scratch += [
+            pltpu.VMEM((2, rows, cin), jnp.int8),   # double-buffered x rows
+            pltpu.VMEM((2, rows, c4), out_dtype),   # double-buffered out rows
+            pltpu.SemaphoreType.DMA((2,)),          # in-stream sems
+            pltpu.SemaphoreType.DMA((2,)),          # out-stream sems
+        ]
 
     if emit_mean:
         out_specs = pl.BlockSpec((bt, c4), lambda i: (i, 0))
         out_shape = jax.ShapeDtypeStruct((b, c4), jnp.float32)
+    elif pipe_dma:
+        out_specs = pl.BlockSpec(memory_space=pl.ANY)
+        out_shape = jax.ShapeDtypeStruct((b * hp * wp, c4), out_dtype)
     else:
         out_specs = pl.BlockSpec((rows, c4), lambda i: (i, 0))
         out_shape = jax.ShapeDtypeStruct((b * hp * wp, c4), out_dtype)
@@ -774,8 +872,10 @@ def bottleneck_block_chained_int8(
         out_shape=out_shape,
         scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
-            # manual_dma's ping-pong requires sequential grid order
-            dimension_semantics=("arbitrary",) if manual_dma else ("parallel",),
+            # manual/pipe DMA ping-pong requires sequential grid order
+            dimension_semantics=(
+                ("arbitrary",) if (manual_dma or pipe_dma) else ("parallel",)
+            ),
             # Mosaic's default scoped-VMEM limit is 16 MB, which caps bt at 1
             # for the 56² shape (256 tiny grid steps whose per-step pipeline
             # overhead serializes against the HBM stream — see ROADMAP r3).

@@ -80,6 +80,15 @@ BASIC_DS_INT8: bool = False
 #: bottleneck family where only stage 0 won).
 BASIC_RUN_FUSE_STAGES: tuple = (0,)
 
+#: Route the per-block chain kernels through the fully-manual pipe-DMA
+#: variant (_chained_kernel_int8_pipe: BOTH the input and output row
+#: streams as in-kernel double-buffered DMAs).  Targets the measured
+#: per-grid-step DMA+compute serialization (PERF.md round 3: L1b1 1.53 ms
+#: ≈ 0.6 copy + 0.9 compute serial; the input-only mdma variant was
+#: neutral, so the remaining suspect is the auto-pipeline's output window
+#: flush).  Interpret bit-match pinned; default off until the on-chip A/B.
+CHAIN_PIPE_DMA: bool = False
+
 # --- Measured tuned defaults (TUNED.json) ---------------------------------
 #: Flags the unattended battery may flip via TUNED.json at the repo root.
 #: The file is written ONLY by tools/battery/auto_best.py after each flag
@@ -95,6 +104,7 @@ _TUNABLE_FLAGS = (
     "BASIC_DS_INT8",
     "RUN_FUSE_STAGES",
     "BASIC_RUN_FUSE_STAGES",
+    "CHAIN_PIPE_DMA",
 )
 
 
@@ -1032,6 +1042,7 @@ def fused_forward_int8_chain(
                     blk["w3q"], blk["sw3"], blk["b3"],
                     scale_row(stage, 0),
                     h=h, w_sp=w_sp, emit_i8=not last0, interpret=interpret,
+                    pipe_dma=CHAIN_PIPE_DMA,
                     wdq=blk.get("wdq"), swd=blk.get("swd"), bd=blk.get("bd"),
                 )
 
@@ -1084,6 +1095,8 @@ def fused_forward_int8_chain(
                         h=h, w_sp=w_sp, emit_i8=not last_i,
                         interpret=interpret,
                         emit_mean=fold_head,
+                        # pipe_dma excludes the emit_mean head-fold tail.
+                        pipe_dma=CHAIN_PIPE_DMA and not fold_head,
                     )
                     head_folded = head_folded or fold_head
 

@@ -465,6 +465,60 @@ def test_chained_int8_manual_dma_bitmatch(rng):
     assert jnp.array_equal(auto_p, manual_p)
 
 
+def test_chained_int8_pipe_dma_bitmatch(rng):
+    """The fully-manual pipe variant (BOTH the input and output row streams
+    as in-kernel double-buffered DMAs) must be bit-identical to the
+    auto-pipelined kernel: same compute body, only the delivery of x and
+    the flush of o differ.  Covers the ping-pong (n=2 and n=4 grid steps),
+    the single-step edge (n=1), the bf16 exit, and the projection form."""
+    from resnetc_tpu.ops.pallas.block import (
+        bottleneck_block_chained_int8,
+        chain_meta,
+        quantize_chain_block,
+        quantize_ds_block,
+    )
+
+    h, cin, c = 8, 64, 16
+    hp, wp = chain_meta(0, h, h)
+    b = 4
+    g = lambda *s: jnp.asarray(rng.standard_normal(s, dtype=np.float32) * 0.1)
+    blk = {
+        "conv1": {"weight": g(cin, c), "bias": g(c)},
+        "conv2": {"weight": g(3, 3, c, c), "bias": g(c)},
+        "conv3": {"weight": g(c, 4 * c), "bias": g(4 * c)},
+    }
+    q = quantize_chain_block(blk)
+    scales = jnp.asarray([0.03, 0.02, 0.03, 0.02], jnp.float32)
+    xr = jnp.asarray(
+        rng.integers(-127, 128, (b * hp * wp, cin)), jnp.int8
+    )
+    args = (
+        xr, q["w1q"], q["sw1"], q["b1"], q["w2pq"], q["sw2p"], q["b2"],
+        q["w3q"], q["sw3"], q["b3"], scales,
+    )
+    for bt in (1, 2, 4):  # n = 4, 2, 1 grid steps
+        kw = dict(h=h, w_sp=h, emit_i8=True, interpret=True, bt=bt)
+        auto = bottleneck_block_chained_int8(*args, **kw)
+        pipe = bottleneck_block_chained_int8(*args, **kw, pipe_dma=True)
+        assert jnp.array_equal(auto, pipe), f"bt={bt}"
+
+    # bf16 exit (emit_i8=False): obuf/ostream in bf16.
+    kw16 = dict(h=h, w_sp=h, emit_i8=False, interpret=True, bt=2)
+    auto16 = bottleneck_block_chained_int8(*args, **kw16)
+    pipe16 = bottleneck_block_chained_int8(*args, **kw16, pipe_dma=True)
+    assert jnp.array_equal(auto16, pipe16)
+
+    # Projection form (layer1 block 0).
+    qd = quantize_ds_block(
+        dict(blk, downsample={"weight": g(cin, 4 * c), "bias": g(4 * c)})
+    )
+    kwp = dict(h=h, w_sp=h, emit_i8=True, interpret=True, bt=2,
+               wdq=qd["wdq"], swd=qd["swd"], bd=qd["bd"])
+    auto_p = bottleneck_block_chained_int8(*args, **kwp)
+    pipe_p = bottleneck_block_chained_int8(*args, **kwp, pipe_dma=True)
+    assert jnp.array_equal(auto_p, pipe_p)
+
+
 def test_chained_int8_emit_i8_roundtrip(rng):
     """emit_i8=True output dequantized with s_y equals the bf16-emitting
     variant to within one LSB of s_y (the producer-epilogue contract)."""
