@@ -603,33 +603,26 @@ def _chained_kernel_int8_mdma(
     )
 
 
-def _chained_kernel_int8_pipe(
-    x_hbm_ref, *refs,
-    bt, hp, wp, c, c4, slot, emit_i8, has_ds,
-):
-    """Fully-manual double-buffered DMA twin of _chained_kernel_int8: BOTH
-    the input row stream AND the output row stream are in-kernel async
-    copies (x and o live in HBM/ANY).
+def _pipe_dma_wrap(body, x_hbm_ref, o_hbm_ref, xbuf, obuf, isems, osems,
+                   rows):
+    """Fully-manual double-buffered row-stream pipeline around ``body``.
+
+    BOTH the input row stream AND the output row stream become in-kernel
+    async copies (x and o live in HBM/ANY): step i's input prefetch was
+    fired at step i-1, the body computes into obuf[i%2], the store DMA is
+    fired and only WAITED two steps later when the buffer is reused (plus
+    a drain on the final step).
 
     Why this exists: the chain kernels measure DMA + compute SERIAL per
-    grid step (L1b1 healthy 1.53 ms ≈ 0.6 ms p0 copy floor + 0.9 ms compute
-    — tools/probe_chain_phases, PERF.md round 3), yet a copy kernel can hide
-    70-85% of independent dot time on this part.  The mdma variant
-    manualized only the INPUT stream and measured neutral — so if the
-    serializer is the auto-pipeline's OUTPUT window flush (step i+1's body
-    gated on step i's out-buffer swap), only manualizing both streams
-    removes it: step i computes into obuf[i%2] and fires its store DMA,
-    step i+1 computes immediately into obuf[(i+1)%2], and the only wait on
-    the store is two steps later when the buffer is reused.
+    grid step (L1b1 healthy 1.53 ms ≈ 0.6 ms p0 copy floor + 0.9 ms
+    compute — tools/probe_chain_phases, PERF.md round 3), yet a copy
+    kernel can hide 70-85% of independent dot time on this part.  The
+    mdma variant manualized only the INPUT stream and measured neutral —
+    so the remaining serialization suspect is the auto-pipeline's OUTPUT
+    window flush (step i+1's body gated on step i's out-buffer swap),
+    which only manualizing both streams removes.  ``body(x_vmem, o_vmem)``
+    is the unchanged compute; output is bit-identical to the auto kernel.
     """
-    if has_ds:
-        (w1, b1_, w2p, b2_, w3, b3_, msk, s1, s2p, s3,
-         wd, sd, bd_, s, o_hbm, z1, xbuf, obuf, isems, osems) = refs
-    else:
-        (w1, b1_, w2p, b2_, w3, b3_, msk, s1, s2p, s3,
-         s, o_hbm, z1, xbuf, obuf, isems, osems) = refs
-        wd = sd = bd_ = None
-    rows = bt * hp * wp
     i = pl.program_id(0)
     n = pl.num_programs(0)
 
@@ -641,7 +634,7 @@ def _chained_kernel_int8_pipe(
 
     def out_dma(step, buf):
         return pltpu.make_async_copy(
-            obuf.at[buf], o_hbm.at[pl.ds(step * rows, rows), :],
+            obuf.at[buf], o_hbm_ref.at[pl.ds(step * rows, rows), :],
             osems.at[buf],
         )
 
@@ -662,12 +655,7 @@ def _chained_kernel_int8_pipe(
     def _():
         out_dma(i - 2, cur).wait()
 
-    _chained_kernel_int8(
-        xbuf.at[cur], w1, b1_, w2p, b2_, w3, b3_, msk, s1, s2p, s3, s,
-        obuf.at[cur], z1,
-        bt=bt, hp=hp, wp=wp, c=c, c4=c4, slot=slot, emit_i8=emit_i8,
-        wd_ref=wd, swd_ref=sd, bd_ref=bd_,
-    )
+    body(xbuf.at[cur], obuf.at[cur])
 
     out_dma(i, cur).start()
 
@@ -679,6 +667,31 @@ def _chained_kernel_int8_pipe(
     @pl.when(i == n - 1)
     def _():
         out_dma(i, cur).wait()
+
+
+def _chained_kernel_int8_pipe(
+    x_hbm_ref, *refs,
+    bt, hp, wp, c, c4, slot, emit_i8, has_ds,
+):
+    """Pipe-DMA twin of _chained_kernel_int8 (see _pipe_dma_wrap)."""
+    if has_ds:
+        (w1, b1_, w2p, b2_, w3, b3_, msk, s1, s2p, s3,
+         wd, sd, bd_, s, o_hbm, z1, xbuf, obuf, isems, osems) = refs
+    else:
+        (w1, b1_, w2p, b2_, w3, b3_, msk, s1, s2p, s3,
+         s, o_hbm, z1, xbuf, obuf, isems, osems) = refs
+        wd = sd = bd_ = None
+    rows = bt * hp * wp
+
+    def body(x_vmem, o_vmem):
+        _chained_kernel_int8(
+            x_vmem, w1, b1_, w2p, b2_, w3, b3_, msk, s1, s2p, s3, s,
+            o_vmem, z1,
+            bt=bt, hp=hp, wp=wp, c=c, c4=c4, slot=slot, emit_i8=emit_i8,
+            wd_ref=wd, swd_ref=sd, bd_ref=bd_,
+        )
+
+    _pipe_dma_wrap(body, x_hbm_ref, o_hbm, xbuf, obuf, isems, osems, rows)
 
 
 @functools.partial(jax.jit, static_argnames=("h", "w_sp", "emit_i8", "bt", "interpret", "manual_dma", "emit_mean", "conv2_chunked", "pipe_dma"))
@@ -1902,7 +1915,7 @@ def _pick_bt_run_int8(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("h", "w_sp", "emit_i8", "bt", "interpret")
+    jax.jit, static_argnames=("h", "w_sp", "emit_i8", "bt", "interpret", "pipe_dma")
 )
 def bottleneck_run_chained_int8(
     xq: jax.Array,
@@ -1915,6 +1928,7 @@ def bottleneck_run_chained_int8(
     emit_i8: bool = True,
     bt: int | None = None,
     interpret: bool = False,
+    pipe_dma: bool = False,
     w1q0: jax.Array | None = None,
     wdq: jax.Array | None = None,
     swd: jax.Array | None = None,
@@ -2019,32 +2033,52 @@ def bottleneck_run_chained_int8(
         operands += [w1q0, wdq, ad, cd]
 
     def kernel(*refs):
-        base = refs[:12]
-        outs = refs[12 + 4 * has_proj :]
         extra = {}
         if has_proj:
             extra = dict(
                 w10_ref=refs[12], wd_ref=refs[13],
                 ad_ref=refs[14], cd_ref=refs[15],
             )
-        _run_chained_kernel_int8(
-            *base, *outs,
+        kw = dict(
             n_blocks=n_blocks, bt=bt, hp=hp, wp=wp, c=c, c4=c4, slot=slot,
             emit_i8=emit_i8, **extra,
         )
+        tail = refs[12 + 4 * has_proj :]
+        if pipe_dma:
+            o_hbm, z1, act, xbuf, obuf, isems, osems = tail
+            _pipe_dma_wrap(
+                lambda x_vmem, o_vmem: _run_chained_kernel_int8(
+                    x_vmem, *refs[1:12], o_vmem, z1, act, **kw
+                ),
+                refs[0], o_hbm, xbuf, obuf, isems, osems, rows,
+            )
+        else:
+            _run_chained_kernel_int8(*refs[:12], *tail, **kw)
 
+    scratch = [
+        pltpu.VMEM((rows + 2 * wp, 3 * slot), jnp.int8),
+        pltpu.VMEM((2, rows, c4), jnp.int8),
+    ]
+    if pipe_dma:
+        in_specs[0] = pl.BlockSpec(memory_space=pl.ANY)
+        out_specs = pl.BlockSpec(memory_space=pl.ANY)
+        scratch += [
+            pltpu.VMEM((2, rows, cin), jnp.int8),   # in-stream ping-pong
+            pltpu.VMEM((2, rows, c4), out_dtype),   # out-stream ping-pong
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ]
+    else:
+        out_specs = pl.BlockSpec((rows, c4), lambda i: (i, 0))
     return pl.pallas_call(
         kernel,
         grid=(b // bt,),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((rows, c4), lambda i: (i, 0)),
+        out_specs=out_specs,
         out_shape=jax.ShapeDtypeStruct((b * hp * wp, c4), out_dtype),
-        scratch_shapes=[
-            pltpu.VMEM((rows + 2 * wp, 3 * slot), jnp.int8),
-            pltpu.VMEM((2, rows, c4), jnp.int8),
-        ],
+        scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel",),
+            dimension_semantics=("arbitrary",) if pipe_dma else ("parallel",),
             # Same rationale as bottleneck_block_chained_int8: the 16MB
             # default cap forced bt=1 (the round-2 "run fusion is slower"
             # measurement was taken there); v5e has 128MB.

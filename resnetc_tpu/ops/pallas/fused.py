@@ -1010,6 +1010,7 @@ def fused_forward_int8_chain(
                         stk("w3q"), stk("sw3"), stk("b3"),
                         jnp.stack([scale_row(stage, i) for i in range(nb)]),
                         h=h, w_sp=w_sp, emit_i8=not last, interpret=interpret,
+                        pipe_dma=CHAIN_PIPE_DMA,
                         w1q0=blk0["w1q"], wdq=blk0["wdq"],
                         swd=blk0["swd"], bd=blk0["bd"],
                     )
@@ -1076,6 +1077,7 @@ def fused_forward_int8_chain(
                     stk("w3q"), stk("sw3"), stk("b3"),
                     jnp.stack([scale_row(stage, i) for i in range(1, nb)]),
                     h=h, w_sp=w_sp, emit_i8=not last, interpret=interpret,
+                    pipe_dma=CHAIN_PIPE_DMA,
                 )
             elif nb > 1:
                 for i in range(1, nb):

@@ -949,6 +949,48 @@ def test_run_chained_int8_matches_sequential_blocks(rng):
     )
 
 
+def test_run_chained_int8_pipe_dma_bitmatch(rng):
+    """The run kernel's pipe-DMA route (manual in+out row streams) must be
+    bit-identical to the auto-pipelined run kernel, across grid-step counts
+    (n=2 ping-pong, n=1 edge) and for the bf16 exit."""
+    from resnetc_tpu.ops.pallas.block import (
+        bottleneck_run_chained_int8,
+        chain_meta,
+        quantize_chain_block,
+    )
+
+    b, h, c = 4, 8, 16
+    c4 = 4 * c
+    hp, wp = chain_meta(0, h, h)
+    g = lambda *s: jnp.asarray(rng.standard_normal(s, dtype=np.float32) * 0.1)
+    qs = [
+        quantize_chain_block({
+            "conv1": {"weight": g(c4, c), "bias": g(c)},
+            "conv2": {"weight": g(3, 3, c, c), "bias": g(c)},
+            "conv3": {"weight": g(c, c4), "bias": g(c4)},
+        })
+        for _ in range(2)
+    ]
+    xr = jnp.asarray(rng.integers(-127, 128, (b * hp * wp, c4)), jnp.int8)
+    scales = jnp.stack([
+        jnp.asarray([0.03, 0.02, 0.03, 0.025], jnp.float32),
+        jnp.asarray([0.025, 0.02, 0.03, 0.02], jnp.float32),
+    ])
+    stk = lambda key: jnp.stack([q[key] for q in qs])
+    args = (
+        xr,
+        stk("w1q"), stk("sw1"), stk("b1"),
+        stk("w2pq"), stk("sw2p"), stk("b2"),
+        stk("w3q"), stk("sw3"), stk("b3"),
+        scales,
+    )
+    for bt, emit in ((2, True), (4, True), (2, False)):
+        kw = dict(h=h, w_sp=h, emit_i8=emit, interpret=True, bt=bt)
+        auto = bottleneck_run_chained_int8(*args, **kw)
+        pipe = bottleneck_run_chained_int8(*args, **kw, pipe_dma=True)
+        assert jnp.array_equal(auto, pipe), (bt, emit)
+
+
 @pytest.mark.parametrize("bt", [None, 1])
 def test_run_chained_int8_whole_stage_with_projection(rng, bt):
     """The whole-stage form of the run kernel (projection block 0 + N-1
