@@ -2123,7 +2123,9 @@ def _ds_block_s2_kernel(
     wd_ref, bd_ref, mask_ref,
     sw1_ref, sw2_ref, sw3_ref, swd_ref,
     o_ref, pl_ref, z1w_ref, dma_sems,
-    *, bt, hq, wq, hp2, wp2, c, cin, c4, emit_i8, pair_dma, onedot,
+    *more,
+    bt, hq, wq, hp2, wp2, c, cin, c4, emit_i8, pair_dma, onedot,
+    pipe_out=False,
 ):
     """x6_ref: the INPUT stage's chain buffer left in HBM/ANY, viewed
     (B, hq, 2, wq, 2, cin) — a free reshape of the flat chain rows; plane
@@ -2199,6 +2201,50 @@ def _ds_block_s2_kernel(
     cur = i % 2
     for p in range(n_dma):
         plane_dma(i, cur, p).wait()
+
+    # --- pipe-out (see _pipe_dma_wrap): stores land in an obuf ping-pong
+    # and stream out via manual DMA instead of the auto out window (the
+    # input side of this kernel is already manual).  Garbage rows (the
+    # chain pad the per-image stores never touch) are zero-filled ONCE per
+    # buffer — stores only ever touch interior rows, so they stay zero
+    # across reuses, matching the auto path's zero-initialized out buffer.
+    if pipe_out:
+        obuf, osems = more
+        rows_out = bt * hp2 * wp2
+
+        def out_dma(step, buf):
+            return pltpu.make_async_copy(
+                obuf.at[buf],
+                o_ref.at[pl.ds(step * rows_out, rows_out), :],
+                osems.at[buf],
+            )
+
+        @pl.when(i >= 2)
+        def _():
+            out_dma(i - 2, cur).wait()
+
+        @pl.when(i < 2)
+        def _():
+            obuf[cur, :, :] = jnp.zeros((rows_out, c4), obuf.dtype)
+
+        o_dst = obuf.at[cur]
+
+        def finish_out():
+            out_dma(i, cur).start()
+            n = pl.num_programs(0)
+
+            @pl.when((i == n - 1) & (n >= 2))
+            def _():
+                out_dma(i - 1, (i - 1) % 2).wait()
+
+            @pl.when(i == n - 1)
+            def _():
+                out_dma(i, cur).wait()
+    else:
+        o_dst = o_ref
+
+        def finish_out():
+            pass
 
     # --- conv1 (1x1, cin -> c): fused dequant+bias+relu+mask epilogue,
     # per-plane slices into the interleaved scratch.  Flat over all bt
@@ -2329,9 +2375,10 @@ def _ds_block_s2_kernel(
         for k in range(bt):
             base = k * hq * wq
             obase = k * hp2 * wp2 + wp2 + 1
-            o_ref[obase : obase + n_u, :] = jax.lax.slice_in_dim(
+            o_dst[obase : obase + n_u, :] = jax.lax.slice_in_dim(
                 y, base, base + n_u, axis=0
             )
+        finish_out()
         return
     for k in range(bt):
         base = k * hq * wq
@@ -2361,11 +2408,12 @@ def _ds_block_s2_kernel(
             )
             y = jnp.maximum(y, 0.0)
             if emit_i8:
-                o_ref[obase + lo : obase + lo + n, :] = jnp.minimum(
+                o_dst[obase + lo : obase + lo + n, :] = jnp.minimum(
                     jnp.round(y), 127.0
                 ).astype(jnp.int8)  # post-relu: no lower clip
             else:
-                o_ref[obase + lo : obase + lo + n, :] = y.astype(o_ref.dtype)
+                o_dst[obase + lo : obase + lo + n, :] = y.astype(o_ref.dtype)
+    finish_out()
 
 
 def _pick_bt_ds_s2(b: int, hq: int, wq: int, cin: int, c: int, c4: int) -> int:
@@ -2410,7 +2458,8 @@ def _pick_bt_ds_s2(b: int, hq: int, wq: int, cin: int, c: int, c4: int) -> int:
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "h", "w_sp", "emit_i8", "bt", "pair_dma", "onedot", "interpret"
+        "h", "w_sp", "emit_i8", "bt", "pair_dma", "onedot", "pipe_out",
+        "interpret",
     ),
 )
 def downsample_block_s2_int8(
@@ -2426,6 +2475,7 @@ def downsample_block_s2_int8(
     bt: int | None = None,
     pair_dma: bool = False,
     onedot: bool = False,
+    pipe_out: bool = False,
     interpret: bool = False,
 ) -> jax.Array:
     """Whole stride-2 bottleneck downsample block, one kernel, chain to chain.
@@ -2511,11 +2561,31 @@ def downsample_block_s2_int8(
     rows = bt * hq * wq
     rows_out = bt * hp2 * wp2
     out_dtype = jnp.int8 if emit_i8 else jnp.bfloat16
+    scratch = [
+        # DMA'd phase planes (or ph pairs), double-buffered across steps
+        pltpu.VMEM(
+            (2, 2, bt, hq, wq, 2 * cin)
+            if pair_dma
+            else (2, 4, bt, hq, wq, cin),
+            jnp.int8,
+        ),
+        pltpu.VMEM((2, rows, 3 * c), jnp.int8),  # interleaved z1 planes
+        pltpu.SemaphoreType.DMA((2, 2) if pair_dma else (2, 4)),
+    ]
+    if pipe_out:
+        out_specs = pl.BlockSpec(memory_space=pl.ANY)
+        scratch += [
+            pltpu.VMEM((2, rows_out, c4), out_dtype),  # out-stream ping-pong
+            pltpu.SemaphoreType.DMA((2,)),
+        ]
+    else:
+        out_specs = pl.BlockSpec((rows_out, c4), lambda i: (i, 0))
     return pl.pallas_call(
         functools.partial(
             _ds_block_s2_kernel,
             bt=bt, hq=hq, wq=wq, hp2=hp2, wp2=wp2, c=c, cin=cin, c4=c4,
             emit_i8=emit_i8, pair_dma=pair_dma, onedot=onedot,
+            pipe_out=pipe_out,
         ),
         grid=(b // bt,),
         in_specs=[
@@ -2537,19 +2607,9 @@ def downsample_block_s2_int8(
             pl.BlockSpec((1, c4), lambda i: (0, 0)),
             pl.BlockSpec((1, c4), lambda i: (0, 0)),
         ],
-        out_specs=pl.BlockSpec((rows_out, c4), lambda i: (i, 0)),
+        out_specs=out_specs,
         out_shape=jax.ShapeDtypeStruct((b * hp2 * wp2, c4), out_dtype),
-        scratch_shapes=[
-            # DMA'd phase planes (or ph pairs), double-buffered across steps
-            pltpu.VMEM(
-                (2, 2, bt, hq, wq, 2 * cin)
-                if pair_dma
-                else (2, 4, bt, hq, wq, cin),
-                jnp.int8,
-            ),
-            pltpu.VMEM((2, rows, 3 * c), jnp.int8),  # interleaved z1 planes
-            pltpu.SemaphoreType.DMA((2, 2) if pair_dma else (2, 4)),
-        ],
+        scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
             # Same rationale as the chain kernels: the 16MB default scoped-

@@ -1032,6 +1032,7 @@ def fused_forward_int8_chain(
                     h=h, w_sp=w_sp, emit_i8=not last0,
                     pair_dma=DS_PAIR_DMA,
                     onedot=DS_CONV3_ONEDOT,
+                    pipe_out=CHAIN_PIPE_DMA,
                     interpret=interpret,
                 )
                 h, w_sp = (h + 1) // 2, (w_sp + 1) // 2

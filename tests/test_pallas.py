@@ -807,6 +807,58 @@ def test_downsample_pair_dma_bitmatch(rng, h):
     ), "onedot bf16-exit diverged"
 
 
+@pytest.mark.parametrize("h", [56, 16])
+def test_downsample_pipe_out_bitmatch(rng, h):
+    """pipe_out=True (manual double-buffered OUTPUT stream; the input side
+    is already a manual plane gather) must match the auto out window on the
+    written rows, with the never-written chain-ring rows pinned to the
+    zero-fill contract.  Runs on direct (h=56) and generic (h=16)
+    geometries, alone and composed with onedot."""
+    from resnetc_tpu.ops.pallas.block import (
+        chain_meta,
+        downsample_block_s2_int8,
+        quantize_ds_block,
+    )
+
+    b, cin, c = 2, 256, 128
+    c4 = 4 * c
+    g = lambda *s: jnp.asarray(rng.standard_normal(s, dtype=np.float32) * 0.1)
+    q = quantize_ds_block({
+        "conv1": {"weight": g(cin, c), "bias": g(c)},
+        "conv2": {"weight": g(3, 3, c, c), "bias": g(c)},
+        "conv3": {"weight": g(c, c4), "bias": g(c4)},
+        "downsample": {"weight": g(cin, c4), "bias": g(c4)},
+    })
+    scales = jnp.asarray([0.03, 0.02, 0.03, 0.02], jnp.float32)
+    hp, wp = chain_meta(0, h, h)
+    xr = jnp.asarray(
+        rng.integers(-127, 128, (b * hp * wp, cin)), jnp.int8
+    )
+    args = (
+        xr, q["w1q"], q["sw1"], q["b1"], q["w2q"], q["sw2"], q["b2"],
+        q["w3q"], q["sw3"], q["b3"], q["wdq"], q["swd"], q["bd"], scales,
+    )
+    oh = (h + 1) // 2
+    hp2, wp2 = chain_meta(0, oh, oh)
+    # Written rows per image: [wp2 + 1, wp2 + 1 + n_u) (see the kernel's
+    # per-image store mapping).
+    n_u = hp2 // 2 * (wp2 // 2) * 4 // 4  # placeholder, recomputed below
+    hq, wq = (hp // 2, wp // 2) if (hp % 2 == 0 and wp % 2 == 0 and wp // 2 == wp2) else (hp2, wp2)
+    n_u = hq * wq - wq - 1
+    written = np.zeros((b * hp2 * wp2,), bool)
+    for k in range(b):
+        lo = k * hp2 * wp2 + wp2 + 1
+        written[lo : lo + n_u] = True
+
+    kw = dict(h=h, w_sp=h, emit_i8=True, interpret=True)
+    for extra in ({}, {"onedot": True}):
+        base = downsample_block_s2_int8(*args, **kw, **extra)
+        pipe = downsample_block_s2_int8(*args, **kw, **extra, pipe_out=True)
+        nb, npi = np.asarray(base), np.asarray(pipe)
+        assert np.array_equal(nb[written], npi[written]), f"interior {extra}"
+        assert not npi[~written].any(), "pipe_out ring rows must be zero"
+
+
 def test_chained_int8_projection_shortcut(rng):
     """wdq/swd/bd turn the identity residual into the stride-1 projection
     block (layer1 block 0): kernel == quantized reference with cin != 4c."""
