@@ -2223,9 +2223,16 @@ def _ds_block_s2_kernel(
         def _():
             out_dma(i - 2, cur).wait()
 
-        @pl.when(i < 2)
+        # Static buffer indices (buffer k is first used at step k): a
+        # traced-index store into the major dim is an unproven Mosaic
+        # pattern; pl.when with literal 0/1 is the proven one.
+        @pl.when(i == 0)
         def _():
-            obuf[cur, :, :] = jnp.zeros((rows_out, c4), obuf.dtype)
+            obuf[0, :, :] = jnp.zeros((rows_out, c4), obuf.dtype)
+
+        @pl.when(i == 1)
+        def _():
+            obuf[1, :, :] = jnp.zeros((rows_out, c4), obuf.dtype)
 
         o_dst = obuf.at[cur]
 
