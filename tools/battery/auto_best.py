@@ -75,18 +75,32 @@ def tune_model(model: str, candidates, *, budget_s: float):
 EVIDENCE: list = []
 
 
+# RESNETC_AUTOBEST_ONLY=FLAG[,FLAG...] restricts the resnet50 pass to the
+# named candidates — a cheap re-run lane for a single new flag (e.g. the
+# session-6 CHAIN_PIPE_DMA A/B) without re-A/B-ing the dispositioned set.
+import os as _os
+
+_only = _os.environ.get("RESNETC_AUTOBEST_ONLY")
+R50_CANDIDATES = (
+    [c for c in TUNE_CANDIDATES if c[0] in _only.split(",")]
+    if _only
+    else TUNE_CANDIDATES
+)
+
 # Each pass is exception-isolated: a setup failure in pass 2 (model build,
 # parity-reference compile under pass 1's still-set flags) must not discard
 # pass 1's measured winners before the TUNED.json write below.
 accepted: dict = {}
 for model, candidates, budget in (
     # Pass 1: the headline model, the full candidate set.
-    ("resnet50", TUNE_CANDIDATES, 2700.0),
+    ("resnet50", R50_CANDIDATES, 2700.0),
     # Pass 2: the basic family's own flag (no effect on bottleneck models),
     # on top of pass 1's winners — resnet18 shares the stem/ds machinery,
     # so the already-accepted flags apply to it too.
     ("resnet18", [("BASIC_DS_INT8", True)], 900.0),
 ):
+    if _only and not any(c[0] in _only.split(",") for c in candidates):
+        continue  # restricted run: skip passes with no requested candidate
     try:
         accepted.update(tune_model(model, candidates, budget_s=budget))
     except Exception as e:
