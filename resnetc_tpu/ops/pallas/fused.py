@@ -86,7 +86,13 @@ BASIC_RUN_FUSE_STAGES: tuple = (0,)
 #: per-grid-step DMA+compute serialization (PERF.md round 3: L1b1 1.53 ms
 #: ≈ 0.6 copy + 0.9 compute serial; the input-only mdma variant was
 #: neutral, so the remaining suspect is the auto-pipeline's output window
-#: flush).  Interpret bit-match pinned; default off until the on-chip A/B.
+#: flush).  Interpret bit-match pinned.  CLOSED NEGATIVE on chip
+#: 2026-08-20: where it compiles the pipe route is ~4% SLOWER than the
+#: auto pipeline (L1b1 2.802 vs 2.782 ms), and the proj form does not
+#: compile at all — Mosaic rejects the manual 64-lane HBM memref slice
+#: ("must be aligned to tiling (128)"); the auto pipeline's BlockSpec
+#: windows are exempt from that constraint.  Kept as an interpret-tested
+#: reference implementation only; never enable on TPU.
 CHAIN_PIPE_DMA: bool = False
 
 # --- Measured tuned defaults (TUNED.json) ---------------------------------

@@ -4,7 +4,7 @@
 #   2. pipe_ab         - CHAIN_PIPE_DMA isolated kernel A/B (the session's
 #                        experiment: does manualizing BOTH row streams
 #                        unlock the DMA/compute overlap?)
-#   3. verify_tpu      - 23-check gate (includes the new pipe bit-match)
+#   3. verify_tpu      - 22-check gate (pipe check removed: closed negative)
 #   4. roofline_attrib - per-phase measured vs same-window floors
 #                        (VERDICT r3 #2's alternative deliverable)
 #   5. flag e2e        - CHAIN_PIPE_DMA e2e paired A/B via auto_best's
@@ -28,7 +28,7 @@ log "health"
 RESNETC_NO_TUNED=1 timeout 1800 python tools/battery/health.py
 log "pipe_ab (isolated kernel A/B)"
 RESNETC_NO_TUNED=1 timeout 3600 python tools/battery/pipe_ab.py --mdma
-log "verify gate (23 checks)"
+log "verify gate (22 checks)"
 RESNETC_NO_TUNED=1 timeout 5400 python tools/verify_tpu.py
 preserve
 log "roofline attribution"

@@ -464,40 +464,14 @@ def _():
     return 0.0
 
 
-@check("int8_chain pipe-DMA routes bit-match the auto pipeline (logits)", 0.0)
-def _():
-    # CHAIN_PIPE_DMA manualizes every row stream (chain/run in+out, ds
-    # out).  The chain/run kernels write full row blocks (bit-exact); the
-    # ds kernels' never-written ring rows are zero-filled vs the auto out
-    # window's unspecified fill, but every consumer masks them — so the
-    # LOGITS must be bit-equal.
-    from resnetc_tpu.ops.pallas import fused
-    from resnetc_tpu.tensor import BF16
-
-    cfg, _, folded, x, ref = _fixture()
-    scales = fused.calibrate_chain_scales(cfg, folded, x)
-    qtree = fused.quantize_chain(cfg, folded)
-
-    def run():
-        return np.asarray(
-            jax.jit(
-                lambda f, s, xx: fused.fused_forward_int8_chain(
-                    cfg, f, s, xx, policy=BF16
-                )
-            )(qtree, scales, x),
-            np.float32,
-        )
-
-    old = fused.CHAIN_PIPE_DMA
-    try:
-        fused.CHAIN_PIPE_DMA = True
-        got = run()
-        fused.CHAIN_PIPE_DMA = False
-        want = run()
-    finally:
-        fused.CHAIN_PIPE_DMA = old
-    assert (got == want).all(), "pipe-DMA logits diverge from auto pipeline"
-    return 0.0
+# NOTE (2026-08-20): the CHAIN_PIPE_DMA gate check was removed after the
+# on-chip pipe_ab run closed the experiment as a measured negative: the
+# pipe route is ~4% slower than the auto pipeline where it compiles, and
+# the proj form does not compile on real Mosaic at all (manual 64-lane
+# HBM memref slice violates the 128-lane tiling constraint; interpret
+# mode does not model that check, so the e2e gate could never pass on
+# chip).  The route stays in-tree as an interpret-bit-match-tested
+# reference (tests/test_pallas.py); gates pin product paths only.
 
 
 @check("int8_chain ds conv3-onedot bit-matches the per-image loop", 0.0)
