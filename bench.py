@@ -78,7 +78,9 @@ ROOFLINE_FRACTION = 0.8  # the BASELINE.json target (against the bf16 roofline)
 #: omitted: it only affects the basic (resnet18/34) family, not the
 #: resnet50 headline.
 TUNE_CANDIDATES = [
-    ("CHAIN_PIPE_DMA", True),
+    # CHAIN_PIPE_DMA is deliberately absent: closed NEGATIVE on chip
+    # 2026-08-20 (~4% slower where it compiles; the proj form hits a
+    # Mosaic 128-lane slice constraint) — see fused.py's flag comment.
     ("STAGE_FUSE_PROJ", True),
     ("DS_CONV3_ONEDOT", True),
     ("DS_PAIR_DMA", True),
