@@ -81,6 +81,11 @@ TUNE_CANDIDATES = [
     # CHAIN_PIPE_DMA is deliberately absent: closed NEGATIVE on chip
     # 2026-08-20 (~4% slower where it compiles; the proj form hits a
     # Mosaic 128-lane slice constraint) — see fused.py's flag comment.
+    # HYBRID_XLA_STAGES leads: ROOFLINE.json (2026-08-20) puts the L1
+    # Pallas kernels at 0.18-0.30 of the same-window floor — the largest
+    # measured recoverable block of time in the whole engine.
+    ("HYBRID_XLA_STAGES", (0,)),
+    ("HYBRID_XLA_STAGES", (0, 1)),
     ("STAGE_FUSE_PROJ", True),
     ("DS_CONV3_ONEDOT", True),
     ("DS_PAIR_DMA", True),
@@ -150,6 +155,11 @@ def greedy_tune(
                                  "error": f"{type(e).__name__}: {e}"}]
     best = base
     for name, value in candidates:
+        # A flag may appear with several trial values (HYBRID_XLA_STAGES
+        # (0,) then (0,1)): the incumbent for its control/restore is the
+        # previously ACCEPTED value, not the pre-tune default — hill-climb,
+        # don't judge the second value against a config already beaten.
+        incumbent = accepted.get(name, defaults[name])
         if getattr(target, name) == value:
             # Already the live default (e.g. TUNED.json flipped it) — an
             # A/B against itself would waste a full-network compile.
@@ -165,7 +175,7 @@ def greedy_tune(
             # program was already compiled for the baseline (or a prior
             # control), so this costs a retrace + one short device run,
             # not a Mosaic recompile.
-            setattr(target, name, defaults[name])
+            setattr(target, name, incumbent)
             ctrl = measure()
             rec = {"flag": name, "value": value, "ms": round(sec * 1e3, 3),
                    "control_ms": round(ctrl * 1e3, 3)}
@@ -176,7 +186,7 @@ def greedy_tune(
                 # The win must reproduce on a second adjacent pair.
                 setattr(target, name, value)
                 sec2 = measure()
-                setattr(target, name, defaults[name])
+                setattr(target, name, incumbent)
                 ctrl2 = measure()
                 rec["confirm_ms"] = round(sec2 * 1e3, 3)
                 rec["confirm_control_ms"] = round(ctrl2 * 1e3, 3)
@@ -197,14 +207,14 @@ def greedy_tune(
                     best = min(sec, sec2)
                 else:
                     rec["status"] = "parity-fail"
-                    setattr(target, name, defaults[name])
+                    setattr(target, name, incumbent)
             else:
                 rec["status"] = "rejected"  # flag already restored above
             records.append(rec)
             log(f"tune: {name}={value}: {rec['ms']} ms"
                 f" (control {rec['control_ms']}) [{rec['status']}]")
         except Exception as e:  # a broken candidate must not kill the bench
-            setattr(target, name, defaults[name])
+            setattr(target, name, incumbent)
             records.append({"flag": name, "status": "fail",
                             "error": f"{type(e).__name__}: {e}"})
             log(f"tune: {name}={value}: FAIL {type(e).__name__}: {e}")

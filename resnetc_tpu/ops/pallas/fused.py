@@ -95,6 +95,19 @@ BASIC_RUN_FUSE_STAGES: tuple = (0,)
 #: reference implementation only; never enable on TPU.
 CHAIN_PIPE_DMA: bool = False
 
+#: Hybrid chain prefix: run these LEADING stages (contiguous from 0) on XLA
+#: bf16 — stem and maxpool stay bf16, the listed stages run as plain XLA
+#: convs from the folded fp entries quantize_chain keeps on stage-0/1
+#: blocks, and the int8 megakernel chain starts at the first non-listed
+#: stage via quantize + pad_for_chain (the same boundary glue the basic
+#: family's XLA transitions use).  Motivated by ROOFLINE.json (2026-08-20):
+#: the L1 Pallas kernels run at 0.18-0.30 of the machine's same-window
+#: floor (c=64 dots waste half the MXU N-side; kw slots pad 192->384) while
+#: L3/L4 sit at 0.6-0.96 — XLA's compiler-scheduled bf16 L1 should beat a
+#: 0.2-efficiency int8 L1 despite the 2x rate and byte handicap.  A/B flag,
+#: default off until the on-chip paired A/B (bench.py TUNE_CANDIDATES).
+HYBRID_XLA_STAGES: tuple = ()
+
 # --- Measured tuned defaults (TUNED.json) ---------------------------------
 #: Flags the unattended battery may flip via TUNED.json at the repo root.
 #: The file is written ONLY by tools/battery/auto_best.py after each flag
@@ -111,6 +124,7 @@ _TUNABLE_FLAGS = (
     "RUN_FUSE_STAGES",
     "BASIC_RUN_FUSE_STAGES",
     "CHAIN_PIPE_DMA",
+    "HYBRID_XLA_STAGES",
 )
 
 
@@ -637,6 +651,17 @@ def quantize_chain(cfg: ResNetConfig, folded: Pytree) -> Pytree:
                     q["wdq"], q["swd"] = quantize_per_channel(wd)
                     q["bd"] = blk["downsample"]["bias"]
                 qblocks[b_str] = q
+            if cfg.block == "bottleneck" and stage <= 1:
+                # Keep bf16 copies of the folded fp entries on the early
+                # stages (~4 MB total): the HYBRID_XLA_STAGES prefix serves
+                # them as plain XLA convs (same pattern as the basic
+                # family's fp transition entries above).
+                for k in ("conv1", "conv2", "conv3", "downsample"):
+                    if k in blk:
+                        qblocks[b_str][k] = {
+                            "weight": blk[k]["weight"].astype(jnp.bfloat16),
+                            "bias": blk[k]["bias"],
+                        }
         out[f"layer{stage + 1}"] = qblocks
     return out
 
@@ -710,6 +735,15 @@ def bake_interior_scales(
                 else:  # ds block: joint per-j scales across the nine taps
                     q["sw2"] = q["sw2"] / s_z2
                 q["b2"] = q["b2"] / s_z2
+                # The hybrid-prefix fp entries came from the PRESCALED
+                # folded2 — restore the un-prescaled originals (XLA serves
+                # them in bf16; the bake must not leak into that path).
+                for k in ("conv1", "conv2", "conv3", "downsample"):
+                    if k in q and k in orig:
+                        q[k] = {
+                            "weight": orig[k]["weight"].astype(jnp.bfloat16),
+                            "bias": orig[k]["bias"],
+                        }
             elif "wdq" in q and "w1pq" in q:
                 # basic-ds transition: conv1 (3x3/2 pair-packed) produces
                 # z1 with JOINT per-output-channel scales.
@@ -913,6 +947,26 @@ def _basic_int8_chain_forward(
     return logits
 
 
+def _xla_bottleneck_stage(y, blocks, nb, *, stride, policy):
+    """One bottleneck stage as plain XLA bf16 convs over the folded fp
+    entries quantize_chain keeps on stage-0/1 blocks (the
+    HYBRID_XLA_STAGES prefix; same math as resnet.forward_folded's loop)."""
+    for b in range(nb):
+        blk = blocks[str(b)]
+        s = stride if b == 0 else 1
+        z = _xla_conv(y, blk["conv1"], k=1, stride=1, padding=0, relu=True, policy=policy)
+        z = _xla_conv(z, blk["conv2"], k=3, stride=s, padding=1, relu=True, policy=policy)
+        z = _xla_conv(z, blk["conv3"], k=1, stride=1, padding=0, relu=False, policy=policy)
+        if "downsample" in blk:
+            short = _xla_conv(
+                y, blk["downsample"], k=1, stride=s, padding=0, relu=False, policy=policy
+            )
+        else:
+            short = y
+        y = lax_ops.relu(lax_ops.add(z, short))
+    return y
+
+
 def fused_forward_int8_chain(
     cfg: ResNetConfig,
     qtree: Pytree,
@@ -960,10 +1014,37 @@ def fused_forward_int8_chain(
 
     site, s_after = _chain_scale_lookups(cfg, chain_scales)
 
+    xla_stages = HYBRID_XLA_STAGES
+    if xla_stages:
+        if tuple(xla_stages) != tuple(range(len(xla_stages))):
+            raise ValueError(
+                f"HYBRID_XLA_STAGES must be a contiguous prefix, got {xla_stages}"
+            )
+        if any(
+            "conv1" not in qtree[f"layer{s + 1}"]["0"] for s in xla_stages
+        ):
+            raise ValueError(
+                "HYBRID_XLA_STAGES needs the folded fp entries quantize_chain "
+                f"keeps on stages 0-1; got stages {xla_stages}"
+            )
+
     x = x.astype(policy.compute)
     y = _conv(x, qtree["conv1"], stride=2, relu=True, policy=policy, interpret=interpret)
-    yq = quantize_with_scale(y, site(0, 0)["in"])
-    yq = lax_ops.max_pool2d(yq, kernel_size=3, stride=2, padding=1)
+    if xla_stages:
+        # Hybrid prefix: pool and the listed stages stay bf16 on XLA; the
+        # int8 chain starts at the first non-listed stage's input scale.
+        y = lax_ops.max_pool2d(y, kernel_size=3, stride=2, padding=1)
+        for stage in xla_stages:
+            y = _xla_bottleneck_stage(
+                y, qtree[f"layer{stage + 1}"], cfg.stage_blocks[stage],
+                stride=1 if stage == 0 else 2, policy=policy,
+            )
+            if stage_taps is not None:
+                stage_taps.append(y.astype(jnp.float32))
+        yq = quantize_with_scale(y, site(len(xla_stages), 0)["in"])
+    else:
+        yq = quantize_with_scale(y, site(0, 0)["in"])
+        yq = lax_ops.max_pool2d(yq, kernel_size=3, stride=2, padding=1)
 
     # One pad entry pass; everything after is int8 in HBM.
     bsz, h, w_sp, _ = yq.shape
@@ -979,6 +1060,8 @@ def fused_forward_int8_chain(
 
     head_folded = False
     for stage in range(4):
+        if stage in xla_stages:
+            continue  # already served by the XLA bf16 hybrid prefix
         blocks = qtree[f"layer{stage + 1}"]
         nb = cfg.stage_blocks[stage]
 

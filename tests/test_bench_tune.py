@@ -180,3 +180,39 @@ def test_unconfirmed_win_is_rejected():
     assert recs[0]["status"] == "rejected-unconfirmed"
     assert recs[0]["confirm_ms"] == 10000.0
     assert recs[0]["confirm_control_ms"] == 10000.0
+
+
+def test_repeated_flag_hill_climbs_against_incumbent():
+    """A flag listed with several trial values (HYBRID_XLA_STAGES (0,) then
+    (0,1)) must judge each later value against the previously ACCEPTED one,
+    not the pre-tune default — and a loss must restore the incumbent."""
+    t = flags(A=())
+    # baseline 10; (0,) wins (8 vs 10) + confirms (8 vs 10); (0,1) measures
+    # 9 vs an incumbent control that must read the (0,)-config time (8) —
+    # rejected, flag stays at (0,).
+    accepted, base, best, recs = bench.greedy_tune(
+        t,
+        [("A", (0,)), ("A", (0, 1))],
+        scripted([10.0, 8.0, 10.0, 8.0, 10.0, 9.0, 8.0]),
+        lambda: (True, {"argmax_match": 1.0}),
+        budget_s=1e9,
+        log=quiet,
+    )
+    assert accepted == {"A": (0,)}
+    assert t.A == (0,)  # incumbent survives the losing second value
+    assert [r["status"] for r in recs] == ["accepted", "rejected"]
+    assert recs[1]["control_ms"] == 8000.0  # control = incumbent, not ()
+
+
+def test_repeated_flag_second_value_can_beat_first():
+    """If the later trial value beats the incumbent too, it takes over."""
+    t = flags(A=())
+    accepted, _, best, recs = bench.greedy_tune(
+        t,
+        [("A", (0,)), ("A", (0, 1))],
+        scripted([10.0, 8.0, 10.0, 8.0, 10.0, 6.0, 8.0, 6.0, 8.0]),
+        lambda: (True, {"argmax_match": 1.0}),
+        budget_s=1e9,
+        log=quiet,
+    )
+    assert accepted == {"A": (0, 1)} and t.A == (0, 1) and best == 6.0

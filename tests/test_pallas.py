@@ -1800,3 +1800,96 @@ def test_pick_batch_tile_full_stack_fits_scoped_vmem():
                             w_block_bytes=9 * 128 * 128 * 2) == 4
     assert _pick_batch_tile(256, 16 * 16, 256, 256,
                             w_block_bytes=9 * 256 * 256 * 2) == 8
+
+
+def test_int8_chain_hybrid_xla_prefix(rng, monkeypatch):
+    """HYBRID_XLA_STAGES serves the leading stages as XLA bf16 and enters
+    the int8 chain at the boundary scale (ROOFLINE.json motivation: L1
+    Pallas efficiency 0.18-0.30 vs L3/L4 at 0.6-0.96).  Logits must stay
+    within the same gates as the pure chain vs the fp folded reference —
+    in fact strictly closer on the quantization axis, since the prefix
+    skips the L1 int8 rounding."""
+    from resnetc_tpu.ops.pallas import fused as fused_mod
+    from resnetc_tpu.ops.pallas.fused import (
+        calibrate_chain_scales,
+        fused_forward_int8_chain,
+        quantize_chain,
+    )
+
+    cfg = resnet.get_config("resnet50", num_classes=11)
+    variables = resnet.init(cfg, jax.random.key(3))
+    folded = resnet.fold_inference_params(cfg, variables)
+    x = jnp.asarray(rng.standard_normal((4, 64, 64, 3), dtype=np.float32))
+    ref = np.asarray(resnet.forward_folded(cfg, folded, x), np.float32)
+    scales = calibrate_chain_scales(cfg, folded, x)
+    qtree = quantize_chain(cfg, folded)
+
+    for stages in [(0,), (0, 1)]:
+        monkeypatch.setattr(fused_mod, "HYBRID_XLA_STAGES", stages)
+        taps: list = []
+        got = np.asarray(
+            fused_forward_int8_chain(
+                cfg, qtree, scales, x, interpret=True, stage_taps=taps
+            ),
+            np.float32,
+        )
+        rel = np.mean(np.abs(got - ref)) / np.mean(np.abs(ref))
+        assert rel < 0.05, (stages, rel)
+        assert (got.argmax(-1) == ref.argmax(-1)).mean() >= 0.9, stages
+        assert len(taps) == 4, (stages, len(taps))
+
+
+def test_int8_chain_hybrid_with_interior_bake(rng, monkeypatch):
+    """The per-channel interior bake prescales the folded tree before
+    quantization — the hybrid prefix's fp entries must be restored
+    UN-prescaled (a leak would skew every XLA-prefix activation by the
+    z1/z2 vectors and this gate would blow up)."""
+    from resnetc_tpu.ops.pallas import fused as fused_mod
+    from resnetc_tpu.ops.pallas.fused import (
+        bake_interior_scales,
+        calibrate_chain_scales,
+        fused_forward_int8_chain,
+    )
+
+    cfg = resnet.get_config("resnet50", num_classes=11)
+    variables = resnet.init(cfg, jax.random.key(3))
+    folded = resnet.fold_inference_params(cfg, variables)
+    x = jnp.asarray(rng.standard_normal((4, 64, 64, 3), dtype=np.float32))
+    ref = np.asarray(resnet.forward_folded(cfg, folded, x), np.float32)
+    scales_pc = calibrate_chain_scales(cfg, folded, x, per_channel_interior=True)
+    q_pc, s_rt = bake_interior_scales(cfg, folded, scales_pc)
+
+    monkeypatch.setattr(fused_mod, "HYBRID_XLA_STAGES", (0,))
+    got = np.asarray(
+        fused_forward_int8_chain(cfg, q_pc, s_rt, x, interpret=True),
+        np.float32,
+    )
+    rel = np.mean(np.abs(got - ref)) / np.mean(np.abs(ref))
+    assert rel < 0.05, rel
+    assert (got.argmax(-1) == ref.argmax(-1)).mean() >= 0.9
+
+
+def test_int8_chain_hybrid_rejects_bad_stage_sets(rng, monkeypatch):
+    """Non-prefix stage sets and stages without kept fp entries must fail
+    loudly at trace time, not produce silently-wrong logits."""
+    from resnetc_tpu.ops.pallas import fused as fused_mod
+    from resnetc_tpu.ops.pallas.fused import (
+        calibrate_chain_scales,
+        fused_forward_int8_chain,
+        quantize_chain,
+    )
+
+    cfg = resnet.get_config("resnet50", num_classes=11)
+    variables = resnet.init(cfg, jax.random.key(3))
+    folded = resnet.fold_inference_params(cfg, variables)
+    x = jnp.asarray(rng.standard_normal((2, 64, 64, 3), dtype=np.float32))
+    scales = calibrate_chain_scales(cfg, folded, x)
+    qtree = quantize_chain(cfg, folded)
+
+    for bad in [(1,), (0, 2)]:
+        monkeypatch.setattr(fused_mod, "HYBRID_XLA_STAGES", bad)
+        with pytest.raises(ValueError, match="contiguous prefix"):
+            fused_forward_int8_chain(cfg, qtree, scales, x, interpret=True)
+    monkeypatch.setattr(fused_mod, "HYBRID_XLA_STAGES", (0, 1, 2))
+    with pytest.raises(ValueError, match="folded fp entries"):
+        fused_forward_int8_chain(cfg, qtree, scales, x, interpret=True)

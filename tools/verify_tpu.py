@@ -527,6 +527,40 @@ def _():
     return rel_mae(got, ref)
 
 
+@check("int8_chain hybrid XLA-prefix (stages 0-1 bf16) vs XLA logits", 0.04)
+def _():
+    from resnetc_tpu.ops.pallas import fused
+    from resnetc_tpu.tensor import BF16
+
+    cfg, _, folded, x, ref = _fixture()
+    scales = fused.calibrate_chain_scales(cfg, folded, x)
+    qtree = fused.quantize_chain(cfg, folded)
+
+    def run():
+        return np.asarray(
+            jax.jit(
+                lambda f, s, xx: fused.fused_forward_int8_chain(
+                    cfg, f, s, xx, policy=BF16
+                )
+            )(qtree, scales, x),
+            np.float32,
+        )
+
+    old = fused.HYBRID_XLA_STAGES
+    worst = 0.0
+    try:
+        for stages in [(0,), (0, 1)]:
+            fused.HYBRID_XLA_STAGES = stages
+            got = run()
+            assert (got.argmax(-1) == ref.argmax(-1)).all(), (
+                f"argmax mismatch vs XLA at stages={stages}"
+            )
+            worst = max(worst, rel_mae(got, ref))
+    finally:
+        fused.HYBRID_XLA_STAGES = old
+    return worst
+
+
 @check("int8_chain basic-ds transitions (resnet18) vs XLA logits", 0.05)
 def _():
     from resnetc_tpu.models import resnet
