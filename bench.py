@@ -81,9 +81,13 @@ TUNE_CANDIDATES = [
     # CHAIN_PIPE_DMA is deliberately absent: closed NEGATIVE on chip
     # 2026-08-20 (~4% slower where it compiles; the proj form hits a
     # Mosaic 128-lane slice constraint) — see fused.py's flag comment.
-    # HYBRID_XLA_STAGES leads: ROOFLINE.json (2026-08-20) puts the L1
-    # Pallas kernels at 0.18-0.30 of the same-window floor — the largest
-    # measured recoverable block of time in the whole engine.
+    # L1_PIXEL_PAIR leads: ROOFLINE.json (2026-08-20) puts the L1 Pallas
+    # kernels at 0.18-0.30 of the same-window floor — the largest measured
+    # recoverable block of time in the whole engine — and the pp kernels
+    # attack it from the kernel side (N=128 dots, dense kw slots).  The
+    # HYBRID candidates follow: measured on top of pp if it wins, they
+    # then ask whether XLA bf16 *still* beats the best int8 L1.
+    ("L1_PIXEL_PAIR", True),
     ("HYBRID_XLA_STAGES", (0,)),
     ("HYBRID_XLA_STAGES", (0, 1)),
     ("STAGE_FUSE_PROJ", True),
@@ -114,6 +118,26 @@ def logits_parity(
     }
 
 
+def hybrid_shadows(name, value, accepted) -> str | None:
+    """Reason a candidate is meaningless under the accepted flags, else None.
+
+    An accepted HYBRID_XLA_STAGES prefix serves its stages as XLA bf16, so
+    flags that only alter the int8 kernels of COVERED stages would A/B two
+    identical programs — burning 4+ full e2e measures and able to persist a
+    weather fluke to TUNED.json (ADVICE r4 #2).  STAGE_FUSE_PROJ only
+    affects stage 0's run-fusion; the DS_* flags affect the ds kernels
+    entering stages 1-3, which stay int8 unless the prefix covers all of
+    them.  STEM_CIN_PAD stays live (the stem is XLA on every config)."""
+    hyb = accepted.get("HYBRID_XLA_STAGES")
+    if not hyb:
+        return None
+    if name in ("STAGE_FUSE_PROJ", "L1_PIXEL_PAIR") and 0 in hyb:
+        return "stage 0 served by XLA under accepted HYBRID_XLA_STAGES"
+    if name in ("DS_PAIR_DMA", "DS_CONV3_ONEDOT") and {1, 2, 3} <= set(hyb):
+        return "all ds stages served by XLA under accepted HYBRID_XLA_STAGES"
+    return None
+
+
 def greedy_tune(
     target,
     candidates,
@@ -122,6 +146,7 @@ def greedy_tune(
     *,
     budget_s: float,
     min_win: float = 0.01,
+    shadow=hybrid_shadows,
     now=time.perf_counter,
     log=lambda s: print(s, file=sys.stderr),
 ):
@@ -164,6 +189,12 @@ def greedy_tune(
             # Already the live default (e.g. TUNED.json flipped it) — an
             # A/B against itself would waste a full-network compile.
             records.append({"flag": name, "status": "already-default"})
+            continue
+        reason = shadow(name, value, accepted) if shadow else None
+        if reason:
+            records.append({"flag": name, "status": "shadowed",
+                            "reason": reason})
+            log(f"tune: {name}={value}: [shadowed] {reason}")
             continue
         if now() - start > budget_s:
             records.append({"flag": name, "status": "skipped-budget"})

@@ -907,6 +907,334 @@ def bottleneck_block_chained_int8(
 
 
 # ---------------------------------------------------------------------------
+# PIXEL-PAIRED L1 chain kernel (int8).  At c=64 every dot of the standard
+# chain kernel runs with N=64 — half the MXU's 128-lane output side idle —
+# and the kw-interleave slots pad 64->128 lanes (K 192->384 with zero
+# weight rows).  ROOFLINE.json (2026-08-20) localizes the engine's worst
+# efficiency (0.18-0.30 of same-window floors) exactly in the L1 phases.
+#
+# Fix: put TWO W-adjacent pixels in each row — rows (bt*Hp*Wp/2, 2c=128).
+# The relayout itself is FREE at every boundary because (N, C) -> (N/2, 2C)
+# is row-major-contiguous: the HBM buffer is merely VIEWED differently
+# (XLA reshape; adjacent pp blocks' reshape pairs cancel).  Inside the
+# kernel NOTHING is repacked (the round-3 "paired two-kw-per-tile" attempt
+# died on in-kernel int8 lane concats — the relayout trap): the pairing is
+# carried by the WEIGHTS instead, built host-side —
+#
+#   conv1: block-diagonal (2cin, 128)  -> z1 comes out of the MXU already
+#          paired.  2x the MACs (the MXU multiplies the zero block), but at
+#          N=128 instead of N=64 the pass costs the SAME mxu-time as the
+#          unpaired dot — the waste moves from lanes to an explicit zero
+#          block, and buys the paired layout for free.
+#   conv2: pair-space 3x3 — kw-interleave shifts whole PAIR rows (slot
+#          width 2c == 128: DENSE, no padding) and the packed weight's
+#          (128,128) blocks place each tap at the right (pair-offset,
+#          parity) position: B[(kwp,pi,k),(kh,pj,j)] = W2[kh, 2(kwp-1)+
+#          pi-pj+1, k, j] when that kw index is in range, else 0.  SAME
+#          total MACs as the slot-padded unpaired dot, at N=128.
+#   conv3 (+ projection): block-diagonal (128, 2*c4) -> output emerges
+#          paired, which as a contiguous view IS the unpaired (rows, c4)
+#          buffer.  Identity residual adds the paired x view directly
+#          (cin == c4 for chain blocks).
+#
+# Net: +~30% MACs (conv1/conv3 zero blocks) against a ~2x N-side rate
+# recovery on ALL dots plus halved VPU row counts (epilogues, interleave
+# stores, masks all see half the rows at full lanes).
+# ---------------------------------------------------------------------------
+
+
+def _pick_bt_chain_int8_pp(b: int, hp: int, wpp: int, c2: int, cin2: int,
+                           c4p: int) -> int:
+    """Largest divisor of B whose pp chained working set fits the walk
+    budget (the pp kernel has no measured bt table yet; the working-set
+    model mirrors _pick_bt_chain_int8 in pair-space)."""
+    budget = 40 * 2**20
+    weights = cin2 * c2 + 9 * c2 * c2 + c2 * c4p
+
+    def work(bt: int) -> int:
+        rows = bt * hp * wpp
+        return (
+            2 * rows * cin2 * 1                  # x block (double-buffered)
+            + (rows + 2 * wpp) * 3 * c2 * 1      # kw-interleaved z1 (dense)
+            + (rows + 2 * wpp) * 3 * c2 * 4      # P (int32, stack)
+            + rows * c2 * 4                      # acc2 fp32
+            + rows * c2 * 4                      # mask f32
+            + 2 * rows * c4p * 1                 # out block (double-buffered)
+            + weights
+        )
+
+    best = 1
+    for bt in range(1, b + 1):
+        if b % bt:
+            continue
+        if work(bt) > budget:
+            break
+        best = bt
+    return best
+
+
+def _chained_kernel_int8_pp(
+    x_ref, w1_ref, b1_ref, w2p_ref, b2_ref, w3_ref, b3_ref, mask_ref,
+    sw1_ref, sw2p_ref, sw3_ref, s_ref,
+    o_ref, z1_ref,
+    *, bt, hp, wpp, c2, c4p, emit_i8,
+    wd_ref=None, swd_ref=None, bd_ref=None,
+):
+    """Pixel-paired twin of _chained_kernel_int8 (see section comment).
+
+    x_ref (rows_pp, 2*cin) int8 paired rows; w1 (2*cin, c2) block-diag;
+    w2p (3*c2, 3*c2) pair-space packed 3x3; w3 (c2, c4p) block-diag;
+    mask_ref (rows_pp, c2) f32 per-lane interior mask (left 64 lanes =
+    even pixel, right 64 = odd — pad parity differs inside boundary
+    pairs, so the mask is lane-varying here, not a (rows,1) broadcast).
+    All scale/bias vectors are lane-tiled to pair width host-side.
+    """
+    rows = bt * hp * wpp
+    s_res = s_ref[0]
+
+    # --- conv1: paired rows x block-diag weights -> z1 already paired.
+    z1 = jax.lax.dot_general(
+        x_ref[:], w1_ref[:],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    z1 = jnp.maximum(
+        z1.astype(jnp.float32) * sw1_ref[:].astype(jnp.float32)
+        + b1_ref[:].astype(jnp.float32),
+        0.0,
+    )
+    z1 = z1 * mask_ref[:]
+    z1 = jnp.minimum(jnp.round(z1), 127.0).astype(jnp.int8)
+
+    # --- conv2 (pair-space 3x3): dense slots, no lane padding.
+    _interleave_kw(z1_ref, z1, rows=rows, wp=wpp, slot=c2, width=c2)
+    P = jax.lax.dot_general(
+        z1_ref[:], w2p_ref[:],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    acc2 = (
+        jax.lax.slice(P, (0, 0), (rows, c2)).astype(jnp.float32)
+        * sw2p_ref[0:1, :].astype(jnp.float32)
+        + jax.lax.slice(P, (wpp, c2), (wpp + rows, 2 * c2)).astype(jnp.float32)
+        * sw2p_ref[1:2, :].astype(jnp.float32)
+        + jax.lax.slice(P, (2 * wpp, 2 * c2), (2 * wpp + rows, 3 * c2)).astype(
+            jnp.float32
+        )
+        * sw2p_ref[2:3, :].astype(jnp.float32)
+    )
+    z2 = jnp.maximum(acc2 + b2_ref[:].astype(jnp.float32), 0.0)
+    z2 = jnp.minimum(jnp.round(z2), 127.0).astype(jnp.int8)
+
+    # --- conv3 (+ residual/projection) in pair space, chunked.
+    chunk = rows
+    while chunk > 1024 and chunk % 2 == 0:
+        chunk //= 2
+    for lo in range(0, rows, chunk):
+        y = jax.lax.dot_general(
+            jax.lax.slice_in_dim(z2, lo, lo + chunk, axis=0),
+            w3_ref[:],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        y = y.astype(jnp.float32) * sw3_ref[:].astype(jnp.float32)
+        y = y + b3_ref[:].astype(jnp.float32)
+        if wd_ref is None:
+            y = y + x_ref[lo : lo + chunk, :].astype(jnp.float32) * s_res
+        else:
+            sc = jax.lax.dot_general(
+                x_ref[lo : lo + chunk, :], wd_ref[:],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )
+            y = y + (
+                sc.astype(jnp.float32) * swd_ref[:].astype(jnp.float32)
+                + bd_ref[:].astype(jnp.float32)
+            )
+        y = jnp.maximum(y, 0.0)
+        if emit_i8:
+            o_ref[lo : lo + chunk, :] = jnp.minimum(
+                jnp.round(y), 127.0
+            ).astype(jnp.int8)
+        else:
+            o_ref[lo : lo + chunk, :] = y.astype(o_ref.dtype)
+
+
+def _pp_pack_conv2(w2pq: jax.Array, c: int) -> jax.Array:
+    """(3c,3c) kh-batched packed 3x3 (quantize_chain_block layout,
+    [(kw,k),(kh,j)]) -> the pair-space (3*2c, 3*2c) packed weight
+    [(kwp,pi,k),(kh,pj,j)].  Entries are COPIES of the already-quantized
+    int8 values, so each output column (kh, pj, j) keeps the original
+    per-(kh,j) scale — the lane-tiled sw2p stays exact."""
+    w2r = w2pq.reshape(3, c, 3, c)  # (kw, k, kh, j)
+    c2 = 2 * c
+    out = jnp.zeros((3, 2, c, 3, 2, c), w2pq.dtype)  # (kwp,pi,k, kh,pj,j)
+    for kwp in range(3):
+        for pi in range(2):
+            for pj in range(2):
+                d = 2 * (kwp - 1) + pi - pj
+                if -1 <= d <= 1:
+                    # w2r[d+1] is (k, kh, j) — exactly the target slice's
+                    # dim order (k, kh, j), all kh at once.
+                    out = out.at[kwp, pi, :, :, pj, :].set(w2r[d + 1])
+    return out.reshape(3 * c2, 3 * c2)
+
+
+def _pp_block_diag(w: jax.Array) -> jax.Array:
+    """(k, n) -> (2k, 2n) block-diagonal [[w, 0], [0, w]] (same dtype)."""
+    k, n = w.shape
+    z = jnp.zeros((k, n), w.dtype)
+    return jnp.concatenate(
+        [jnp.concatenate([w, z], axis=1), jnp.concatenate([z, w], axis=1)],
+        axis=0,
+    )
+
+
+def bottleneck_block_chained_int8_pp(
+    xq: jax.Array,
+    w1q: jax.Array, sw1: jax.Array, b1: jax.Array,
+    w2pq: jax.Array, sw2p: jax.Array, b2: jax.Array,
+    w3q: jax.Array, sw3: jax.Array, b3: jax.Array,
+    scales: jax.Array,
+    *,
+    h: int, w_sp: int,
+    emit_i8: bool = True,
+    bt: int | None = None,
+    interpret: bool = False,
+    wdq: jax.Array | None = None,
+    swd: jax.Array | None = None,
+    bd: jax.Array | None = None,
+) -> jax.Array:
+    """Pixel-paired stride-1 bottleneck chain block (c=64 / L1 shapes).
+
+    SAME contract as bottleneck_block_chained_int8 — xq (B*Hp*Wp, cin)
+    int8 chain rows in, same-layout (B*Hp*Wp, c4) out — the pairing is an
+    internal view ((N, C) <-> (N/2, 2C) is contiguous, see section
+    comment), so pp and standard blocks interoperate freely in a chain.
+    Requires wp even (chain_meta gives wp=64 at the 56^2 L1 shape) and
+    c == 64 (at c >= 128 the standard kernel's dots already fill the MXU
+    N-side, and pairing would only add zero-block MACs).
+    """
+    c = w1q.shape[-1]
+    cin = w1q.shape[0]
+    c4 = w3q.shape[-1]
+    has_ds = wdq is not None
+    assert has_ds or cin == c4, (cin, c4)
+    assert c == 64, f"pp kernel is for the c=64 (L1) stage only, got c={c}"
+    hp, wp = chain_meta(0, h, w_sp)
+    assert wp % 2 == 0, (wp, "pp pairing needs an even padded width")
+    wpp = wp // 2
+    c2, cin2, c4p = 2 * c, 2 * cin, 2 * c4
+    total_rows, cin_in = xq.shape
+    b = total_rows // (hp * wp)
+    assert b * hp * wp == total_rows and cin_in == cin, (xq.shape, (b, hp, wp, cin))
+    bt = bt or _pick_bt_chain_int8_pp(b, hp, wpp, c2, cin2, c4p)
+    rows = bt * hp * wpp
+    out_dtype = jnp.int8 if emit_i8 else jnp.bfloat16
+
+    # Paired view: free on a contiguous row-major buffer.
+    xpp = xq.reshape(total_rows // 2, cin2)
+
+    # Pair-space weights (built from the standard quantized tensors; XLA
+    # hoists these loop-invariant packs out of the serving loop).
+    w1bd = _pp_block_diag(w1q)
+    w2pp = _pp_pack_conv2(w2pq, c)
+    w3bd = _pp_block_diag(w3q)
+
+    # Host-side scale folding — identical factors to the standard wrapper,
+    # lane-tiled to pair width.
+    s_x, s_z1, s_z2 = scales[0], scales[1], scales[2]
+    s_y = scales[3] if emit_i8 else jnp.float32(1.0)
+    a1 = jnp.tile((sw1.astype(jnp.float32) * (s_x / s_z1)), 2)[None, :]
+    c1 = jnp.tile((b1.astype(jnp.float32) * (1.0 / s_z1)), 2)[None, :]
+    a2 = jnp.tile((sw2p.astype(jnp.float32) * (s_z1 / s_z2)).reshape(3, c),
+                  (1, 2))
+    c2v = jnp.tile((b2.astype(jnp.float32) * (1.0 / s_z2)), 2)[None, :]
+    a3 = jnp.tile((sw3.astype(jnp.float32) * (s_z2 / s_y)), 2)[None, :]
+    c3 = jnp.tile((b3.astype(jnp.float32) * (1.0 / s_y)), 2)[None, :]
+    s_res = jnp.reshape(s_x / s_y, (1,)).astype(jnp.float32)
+
+    # Lane-varying interior mask: pad parity differs inside boundary pairs.
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (hp * wp, 1), 0)
+    r, cc = row_ids // wp, row_ids % wp
+    mask = ((r >= 1) & (r <= h) & (cc >= 1) & (cc <= w_sp)).astype(jnp.float32)
+    mask_pp = jnp.repeat(mask.reshape(hp * wpp, 2), c, axis=1)  # (.., c2)
+    mask_t = jnp.tile(mask_pp, (bt, 1))
+
+    in_specs = [
+        pl.BlockSpec((rows, cin2), lambda i: (i, 0)),
+        pl.BlockSpec((cin2, c2), lambda i: (0, 0)),
+        pl.BlockSpec((1, c2), lambda i: (0, 0)),
+        pl.BlockSpec((3 * c2, 3 * c2), lambda i: (0, 0)),
+        pl.BlockSpec((1, c2), lambda i: (0, 0)),
+        pl.BlockSpec((c2, c4p), lambda i: (0, 0)),
+        pl.BlockSpec((1, c4p), lambda i: (0, 0)),
+        pl.BlockSpec((rows, c2), lambda i: (0, 0)),
+        pl.BlockSpec((1, c2), lambda i: (0, 0)),
+        pl.BlockSpec((3, c2), lambda i: (0, 0)),
+        pl.BlockSpec((1, c4p), lambda i: (0, 0)),
+    ]
+    operands = [
+        xpp, w1bd, c1, w2pp, c2v, w3bd, c3, mask_t,
+        a1, a2, a3,
+    ]
+    if has_ds:
+        wdbd = _pp_block_diag(wdq)
+        ad = jnp.tile((swd.astype(jnp.float32) * (s_x / s_y)), 2)[None, :]
+        cd = jnp.tile((bd.astype(jnp.float32) * (1.0 / s_y)), 2)[None, :]
+        in_specs += [
+            pl.BlockSpec((cin2, c4p), lambda i: (0, 0)),
+            pl.BlockSpec((1, c4p), lambda i: (0, 0)),
+            pl.BlockSpec((1, c4p), lambda i: (0, 0)),
+        ]
+        operands += [wdbd, ad, cd]
+    in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+    operands.append(s_res)
+
+    def kernel(*refs):
+        x, w1, b1_, w2p, b2_, w3, b3_, msk, s1, s2p, s3 = refs[:11]
+        idx = 11
+        wd = sd = bd_ = None
+        if has_ds:
+            wd, sd, bd_ = refs[idx : idx + 3]
+            idx += 3
+        s = refs[idx]
+        o, z1 = refs[idx + 1], refs[idx + 2]
+        _chained_kernel_int8_pp(
+            x, w1, b1_, w2p, b2_, w3, b3_, msk, s1, s2p, s3, s, o, z1,
+            bt=bt, hp=hp, wpp=wpp, c2=c2, c4p=c4p, emit_i8=emit_i8,
+            wd_ref=wd, swd_ref=sd, bd_ref=bd_,
+        )
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(b // bt,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((rows, c4p), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((b * hp * wp // 2, c4p), out_dtype),
+        scratch_shapes=[
+            pltpu.VMEM((rows + 2 * wpp, 3 * c2), jnp.int8),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+            vmem_limit_bytes=100 * 2**20,
+        ),
+        cost_estimate=pl.CostEstimate(
+            # Pair-space MACs: conv1/conv3 (and ds) pay the 2x zero block.
+            flops=2 * (b * hp * wp // 2)
+            * (cin2 * c2 + 3 * (3 * c2) * c2 + c2 * c4p
+               + (cin2 * c4p if has_ds else 0)),
+            bytes_accessed=b * hp * wp * (cin + c4)
+            + (cin2 * c2 + 9 * c2 * c2 + c2 * c4p),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(*operands)
+    # Back to the canonical chain shape (a free contiguous view).
+    return out.reshape(b * hp * wp, c4)
+
+
+# ---------------------------------------------------------------------------
 # BASIC-block megakernel (int8): one stride-1 BasicBlock (ResNet-18/34) as
 # ONE kernel over the chained padded-row layout — two 3x3 convs, both via
 # the kw-interleave machinery the bottleneck kernel uses for its conv2.

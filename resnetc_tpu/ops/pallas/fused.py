@@ -108,6 +108,16 @@ CHAIN_PIPE_DMA: bool = False
 #: default off until the on-chip paired A/B (bench.py TUNE_CANDIDATES).
 HYBRID_XLA_STAGES: tuple = ()
 
+#: Serve stage 0 (c=64) with the PIXEL-PAIRED chain kernels: two W-adjacent
+#: pixels per row (a free contiguous view), pairing carried by host-built
+#: block-diagonal / pair-packed weights so every dot runs at N=128 instead
+#: of N=64 and the kw slots are dense (no 64->128 lane padding).  Targets
+#: ROOFLINE.json's L1 0.18-0.30 efficiency (VERDICT r4 #3) from the kernel
+#: side, where HYBRID_XLA_STAGES concedes the stage to XLA bf16.  Overrides
+#: stage-0 run-fusion (per-block pp kernels).  A/B flag, default off until
+#: the on-chip paired A/B; interpret bit-match pinned in tests/test_pallas.py.
+L1_PIXEL_PAIR: bool = False
+
 # --- Measured tuned defaults (TUNED.json) ---------------------------------
 #: Flags the unattended battery may flip via TUNED.json at the repo root.
 #: The file is written ONLY by tools/battery/auto_best.py after each flag
@@ -125,6 +135,7 @@ _TUNABLE_FLAGS = (
     "BASIC_RUN_FUSE_STAGES",
     "CHAIN_PIPE_DMA",
     "HYBRID_XLA_STAGES",
+    "L1_PIXEL_PAIR",
 )
 
 
@@ -999,6 +1010,7 @@ def fused_forward_int8_chain(
     """
     from resnetc_tpu.ops.pallas.block import (
         bottleneck_block_chained_int8,
+        bottleneck_block_chained_int8_pp,
         bottleneck_run_chained_int8,
         downsample_block_s2_int8,
         pad_for_chain,
@@ -1073,7 +1085,7 @@ def fused_forward_int8_chain(
         stage_fused = False
         if (
             stage == 0 and nb > 1 and stage in RUN_FUSE_STAGES
-            and STAGE_FUSE_PROJ
+            and STAGE_FUSE_PROJ and not L1_PIXEL_PAIR
         ):
             from resnetc_tpu.ops.pallas.block import (
                 _pick_bt_run_int8, chain_meta,
@@ -1125,6 +1137,18 @@ def fused_forward_int8_chain(
                     interpret=interpret,
                 )
                 h, w_sp = (h + 1) // 2, (w_sp + 1) // 2
+            elif L1_PIXEL_PAIR:
+                # Pixel-paired stage 0 (projection block included): see
+                # block.py's pp section comment / the L1_PIXEL_PAIR flag.
+                yr = bottleneck_block_chained_int8_pp(
+                    yr,
+                    blk["w1q"], blk["sw1"], blk["b1"],
+                    blk["w2pq"], blk["sw2p"], blk["b2"],
+                    blk["w3q"], blk["sw3"], blk["b3"],
+                    scale_row(stage, 0),
+                    h=h, w_sp=w_sp, emit_i8=not last0, interpret=interpret,
+                    wdq=blk.get("wdq"), swd=blk.get("swd"), bd=blk.get("bd"),
+                )
             else:
                 yr = bottleneck_block_chained_int8(
                     yr,
@@ -1144,7 +1168,8 @@ def fused_forward_int8_chain(
             # (M-starved dots); the cap is 100MB now and RUN_FUSE_STAGES is
             # module-level so the choice follows measurement (see PERF.md).
             use_run = False
-            if nb > 1 and stage in RUN_FUSE_STAGES:
+            if (nb > 1 and stage in RUN_FUSE_STAGES
+                    and not (stage == 0 and L1_PIXEL_PAIR)):
                 from resnetc_tpu.ops.pallas.block import (
                     _pick_bt_run_int8, chain_meta,
                 )
@@ -1178,6 +1203,17 @@ def fused_forward_int8_chain(
                     # features directly — the 84MB tail activation never
                     # crosses HBM.
                     fold_head = last_i and stage_taps is None
+                    if stage == 0 and L1_PIXEL_PAIR and not fold_head:
+                        yr = bottleneck_block_chained_int8_pp(
+                            yr,
+                            blk["w1q"], blk["sw1"], blk["b1"],
+                            blk["w2pq"], blk["sw2p"], blk["b2"],
+                            blk["w3q"], blk["sw3"], blk["b3"],
+                            scale_row(stage, i),
+                            h=h, w_sp=w_sp, emit_i8=not last_i,
+                            interpret=interpret,
+                        )
+                        continue
                     yr = bottleneck_block_chained_int8(
                         yr,
                         blk["w1q"], blk["sw1"], blk["b1"],

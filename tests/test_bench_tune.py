@@ -216,3 +216,35 @@ def test_repeated_flag_second_value_can_beat_first():
         log=quiet,
     )
     assert accepted == {"A": (0, 1)} and t.A == (0, 1) and best == 6.0
+
+
+def test_greedy_tune_shadows_covered_candidates():
+    """A candidate that only affects stages covered by an accepted
+    HYBRID_XLA_STAGES prefix must be skipped (ADVICE r4 #2) — no measure
+    calls burned, recorded as 'shadowed'."""
+    import bench
+
+    class T:
+        HYBRID_XLA_STAGES = ()
+        STAGE_FUSE_PROJ = False
+        L1_PIXEL_PAIR = False
+
+    t = T()
+    times = iter([10.0, 8.0, 10.0, 8.0, 10.0])  # base, cand, ctrl, confirm...
+
+    def measure():
+        return next(times, 8.0)
+
+    accepted, _, _, records = bench.greedy_tune(
+        t,
+        [("HYBRID_XLA_STAGES", (0,)), ("STAGE_FUSE_PROJ", True),
+         ("L1_PIXEL_PAIR", True)],
+        measure,
+        lambda: (True, {"argmax_match": 1.0}),
+        budget_s=60,
+        log=lambda s: None,
+    )
+    assert accepted == {"HYBRID_XLA_STAGES": (0,)}
+    by_flag = {r["flag"]: r for r in records}
+    assert by_flag["STAGE_FUSE_PROJ"]["status"] == "shadowed"
+    assert by_flag["L1_PIXEL_PAIR"]["status"] == "shadowed"

@@ -1893,3 +1893,88 @@ def test_int8_chain_hybrid_rejects_bad_stage_sets(rng, monkeypatch):
     monkeypatch.setattr(fused_mod, "HYBRID_XLA_STAGES", (0, 1, 2))
     with pytest.raises(ValueError, match="folded fp entries"):
         fused_forward_int8_chain(cfg, qtree, scales, x, interpret=True)
+
+
+def test_chained_int8_pixel_pair_bitmatch(rng):
+    """The pixel-paired L1 kernel must be bit-identical to the standard
+    chain kernel: the pairing only regroups EXACT int32 dot accumulations
+    (block-diag conv1/conv3 add zero products; the pair-space conv2 sums
+    the same tap products per kh slice) and every f32 epilogue op runs in
+    the same order on lane-tiled vectors.  Covers identity + projection
+    forms, i8 and bf16 exits, and bt=2 grid stepping."""
+    from resnetc_tpu.ops.pallas.block import (
+        bottleneck_block_chained_int8,
+        bottleneck_block_chained_int8_pp,
+        chain_meta,
+        quantize_chain_block,
+        quantize_ds_block,
+    )
+
+    h, cin, c = 8, 256, 64  # chain_meta -> wp=16 (even), wpp=8
+    hp, wp = chain_meta(0, h, h)
+    assert wp % 2 == 0
+    b = 4
+    g = lambda *s: jnp.asarray(rng.standard_normal(s, dtype=np.float32) * 0.1)
+    blk = {
+        "conv1": {"weight": g(cin, c), "bias": g(c)},
+        "conv2": {"weight": g(3, 3, c, c), "bias": g(c)},
+        "conv3": {"weight": g(c, 4 * c), "bias": g(4 * c)},
+    }
+    q = quantize_chain_block(blk)
+    scales = jnp.asarray([0.03, 0.02, 0.03, 0.02], jnp.float32)
+    xr = jnp.asarray(rng.integers(-127, 128, (b * hp * wp, cin)), jnp.int8)
+    args = (
+        xr, q["w1q"], q["sw1"], q["b1"], q["w2pq"], q["sw2p"], q["b2"],
+        q["w3q"], q["sw3"], q["b3"], scales,
+    )
+    for emit_i8 in (True, False):
+        kw = dict(h=h, w_sp=h, emit_i8=emit_i8, interpret=True, bt=2)
+        base = bottleneck_block_chained_int8(*args, **kw)
+        pp = bottleneck_block_chained_int8_pp(*args, **kw)
+        assert pp.shape == base.shape and pp.dtype == base.dtype
+        assert jnp.array_equal(base, pp), f"emit_i8={emit_i8}"
+
+    # Projection form (L1 block 0: cin=64 pool output, 4c=256 out).
+    cin0 = 64
+    blk0 = {
+        "conv1": {"weight": g(cin0, c), "bias": g(c)},
+        "conv2": {"weight": g(3, 3, c, c), "bias": g(c)},
+        "conv3": {"weight": g(c, 4 * c), "bias": g(4 * c)},
+    }
+    q0 = quantize_chain_block(blk0)
+    qd = quantize_ds_block(
+        dict(blk0, downsample={"weight": g(cin0, 4 * c), "bias": g(4 * c)})
+    )
+    xr0 = jnp.asarray(rng.integers(-127, 128, (b * hp * wp, cin0)), jnp.int8)
+    args0 = (
+        xr0, q0["w1q"], q0["sw1"], q0["b1"], q0["w2pq"], q0["sw2p"], q0["b2"],
+        q0["w3q"], q0["sw3"], q0["b3"], scales,
+    )
+    kwp = dict(h=h, w_sp=h, emit_i8=True, interpret=True, bt=2,
+               wdq=qd["wdq"], swd=qd["swd"], bd=qd["bd"])
+    base_p = bottleneck_block_chained_int8(*args0, **kwp)
+    pp_p = bottleneck_block_chained_int8_pp(*args0, **kwp)
+    assert jnp.array_equal(base_p, pp_p)
+
+
+def test_int8_chain_l1_pixel_pair_e2e_bitmatch(rng, monkeypatch):
+    """fused_forward_int8_chain with L1_PIXEL_PAIR must match the default
+    engine bit-for-bit in interpret mode (stage 0 rerouted, run-fusion
+    overridden; everything downstream reads the identical chain buffer)."""
+    from resnetc_tpu.models import resnet
+    from resnetc_tpu.ops.pallas import fused
+
+    cfg = resnet.get_config("resnet50")
+    cfg = cfg.__class__(**{**cfg.__dict__, "stage_blocks": (2, 2, 2, 2)})
+    variables = resnet.init(cfg, jax.random.key(0))
+    folded = resnet.fold_inference_params(cfg, variables)
+    x = jnp.asarray(
+        rng.standard_normal((2, 64, 64, 3), dtype=np.float32), jnp.bfloat16
+    )
+    scales = fused.calibrate_chain_scales(cfg, folded, x.astype(jnp.float32))
+    qtree = fused.quantize_chain(cfg, folded)
+
+    base = fused.fused_forward_int8_chain(cfg, qtree, scales, x, interpret=True)
+    monkeypatch.setattr(fused, "L1_PIXEL_PAIR", True)
+    pp = fused.fused_forward_int8_chain(cfg, qtree, scales, x, interpret=True)
+    assert jnp.array_equal(base, pp)

@@ -326,14 +326,32 @@ def main() -> int:
         jnp.bfloat16,
     )
 
+    # Prefix diffs resolve sub-ms phases only if each prefix's own noise is
+    # well under the diff: repeats>=5 per timing.py's rule (r4's repeats=3
+    # run recorded a NEGATIVE -0.196 ms quant+pad phase); when a diff still
+    # comes out negative or tiny, re-measure the ADJACENT pair once and take
+    # the better-resolved (larger-magnitude-consistent) sample.
     meas_ms: list[float] = []
-    prev = 0.0
+    prefix_sec: list[float] = [0.0]
+    prefix_fns = [prof.build_prefix(cfg, qtree, scales, cut)
+                  for cut in range(1, len(phases) + 1)]
     for cut, ph in enumerate(phases, start=1):
-        fn = prof.build_prefix(cfg, qtree, scales, cut)
-        sec = chained_seconds_per_iter(fn, x, iters=args.iters, repeats=3)
-        meas_ms.append((sec - prev) * 1e3)
-        prev = sec
+        sec = chained_seconds_per_iter(
+            prefix_fns[cut - 1], x, iters=args.iters, repeats=7)
+        diff_ms = (sec - prefix_sec[-1]) * 1e3
+        if diff_ms <= 0.02 and cut >= 2:
+            # Under-resolved: re-sample both prefixes adjacently (shares one
+            # weather sample) and use the re-paired diff.
+            prev2 = chained_seconds_per_iter(
+                prefix_fns[cut - 2], x, iters=args.iters, repeats=7)
+            sec2 = chained_seconds_per_iter(
+                prefix_fns[cut - 1], x, iters=args.iters, repeats=7)
+            diff_ms = (sec2 - prev2) * 1e3
+            sec = prefix_sec[-1] + diff_ms / 1e3
+        meas_ms.append(diff_ms)
+        prefix_sec.append(sec)
         print(f"  measured {ph['name']:<16} {meas_ms[-1]:8.3f} ms", flush=True)
+    prev = prefix_sec[-1]
 
     # Post-sweep rates; floors at the mean of the two weather samples.
     copy_gbs1 = measure_copy_rate_gbs(args.batch)
@@ -351,11 +369,30 @@ def main() -> int:
     for ph, meas in zip(phases, meas_ms):
         dma, mxu = floor_ms(ph, copy_gbs, int8_tops, bf16_tfs)
         fl = max(dma, mxu)
-        eff = fl / meas if meas > 1e-6 else float("nan")
-        rows.append(dict(ph, measured_ms=round(meas, 3), dma_floor_ms=round(dma, 3),
-                         mxu_floor_ms=round(mxu, 3), efficiency=round(eff, 3)))
+        row = dict(ph, measured_ms=round(meas, 3), dma_floor_ms=round(dma, 3),
+                   mxu_floor_ms=round(mxu, 3))
+        if meas <= 1e-6:
+            # Still unresolved after the adjacent re-pair: no efficiency
+            # claim (serialized as null — strict-JSON safe, ADVICE r4 #1).
+            row["efficiency"] = None
+            row["note"] = "phase under-resolved by prefix diffs in this window"
+            eff_str = "  n/a"
+        else:
+            eff = fl / meas
+            if eff > 1.0:
+                # Measured beat the modeled floor: the phase BYTE MODEL
+                # overcounts (e.g. the stem's cin-pad copy fuses into the
+                # conv producer, so its write+read never crosses HBM).
+                # Clamp the claim and say why, instead of recording >1.
+                row["efficiency"] = 1.0
+                row["note"] = (f"measured beat modeled floor ({round(eff, 3)}x):"
+                               " phase byte model overcounts; clamped")
+            else:
+                row["efficiency"] = round(eff, 3)
+            eff_str = f"{min(eff, 1.0):5.2f}"
+        rows.append(row)
         print(f"  {ph['name']:<16} {meas:8.3f} {dma:7.3f} {mxu:7.3f} "
-              f"{fl:7.3f} {eff:5.2f}", flush=True)
+              f"{fl:7.3f} {eff_str}", flush=True)
 
     e2e_ms = prev * 1e3
     sol_window = sum(max(r["dma_floor_ms"], r["mxu_floor_ms"]) for r in rows)
@@ -381,7 +418,9 @@ def main() -> int:
           f"window speed-of-light {sol_window:.2f} ms "
           f"(ratio {summary['e2e_vs_window_sol']}) | "
           f"spec speed-of-light {sol_spec:.2f} ms")
-    Path(args.out).write_text(json.dumps(summary, indent=1))
+    # allow_nan=False: the artifact must stay parseable by strict JSON
+    # consumers (jq/JSON.parse rejected r4's literal NaN — ADVICE r4 #1).
+    Path(args.out).write_text(json.dumps(summary, indent=1, allow_nan=False))
     print(f"wrote {args.out}")
     return 0
 
