@@ -29,6 +29,7 @@
 
 #include <dlfcn.h>
 
+#include <algorithm>
 #include <cstdint>
 #include <cstdio>
 #include <cstdlib>
@@ -98,13 +99,14 @@ int main(int argc, char** argv) {
   if (argc < 5) {
     std::fprintf(stderr,
                  "usage: %s PLUGIN.so MODEL.mlir COMPILE_OPTS.pb INPUT.f32 "
-                 "[N H W C] [--loop K]\n",
+                 "[N H W C] [--loop K] [--latency K]\n",
                  argv[0]);
     return 2;
   }
   const char* plugin_path = argv[1];
   int64_t dims[4] = {1, 224, 224, 3};
   int loop = 1;
+  int latency = 0;
   std::vector<std::pair<std::string, std::string>> client_opts;
   int pos = 5;
   if (argc >= pos + 4 && argv[pos][0] != '-') {
@@ -114,6 +116,9 @@ int main(int argc, char** argv) {
   while (pos + 1 < argc) {
     if (std::strcmp(argv[pos], "--loop") == 0) {
       loop = std::atoi(argv[pos + 1]);
+      pos += 2;
+    } else if (std::strcmp(argv[pos], "--latency") == 0) {
+      latency = std::atoi(argv[pos + 1]);
       pos += 2;
     } else if (std::strcmp(argv[pos], "--copt") == 0) {
       std::string kv = argv[pos + 1];
@@ -306,5 +311,93 @@ int main(int argc, char** argv) {
                "%d run(s), %.2f ms/run dispatch+complete (tunnel RTT "
                "included; not a kernel benchmark)\n",
                loop, exec_s / loop * 1e3);
+
+  // --- serving-latency mode: K FULL request round trips (host upload ->
+  // execute -> device->host fetch -> argmax), each wall-timed — exactly
+  // what a frontend pays per request through this binary.  This is the
+  // official p50/p99 single-image serving latency path (BASELINE.md
+  // config #3): zero Python, one process, the engine it times is the
+  // same loaded executable that serves.  On the axon tunnel the numbers
+  // include tunnel RTT; on a real serving host they are device+PCIe only.
+  if (latency > 0) {
+    std::vector<double> samples;
+    samples.reserve(latency);
+    std::vector<float> lat_logits;
+    for (int it = 0; it < latency; ++it) {
+      auto t0 = std::chrono::steady_clock::now();
+      PJRT_Client_BufferFromHostBuffer_Args lhb;
+      std::memset(&lhb, 0, sizeof(lhb));
+      lhb.struct_size = PJRT_Client_BufferFromHostBuffer_Args_STRUCT_SIZE;
+      lhb.client = client;
+      lhb.data = input.data();
+      lhb.type = PJRT_Buffer_Type_F32;
+      lhb.dims = dims;
+      lhb.num_dims = 4;
+      lhb.host_buffer_semantics =
+          PJRT_HostBufferSemantics_kImmutableUntilTransferCompletes;
+      lhb.device = device;
+      Check(g_api->PJRT_Client_BufferFromHostBuffer(&lhb), "lat upload");
+      AwaitEvent(lhb.done_with_host_buffer, "lat host transfer");
+
+      PJRT_ExecuteOptions opts;
+      std::memset(&opts, 0, sizeof(opts));
+      opts.struct_size = PJRT_ExecuteOptions_STRUCT_SIZE;
+      PJRT_Buffer* args_row[1] = {lhb.buffer};
+      PJRT_Buffer* const* arg_lists[1] = {args_row};
+      PJRT_Buffer* out_row[1] = {nullptr};
+      PJRT_Buffer** out_lists[1] = {out_row};
+      PJRT_Event* done[1] = {nullptr};
+      PJRT_LoadedExecutable_Execute_Args ex;
+      std::memset(&ex, 0, sizeof(ex));
+      ex.struct_size = PJRT_LoadedExecutable_Execute_Args_STRUCT_SIZE;
+      ex.executable = exec;
+      ex.options = &opts;
+      ex.argument_lists = arg_lists;
+      ex.num_devices = 1;
+      ex.num_args = 1;
+      ex.output_lists = out_lists;
+      ex.device_complete_events = done;
+      Check(g_api->PJRT_LoadedExecutable_Execute(&ex), "lat execute");
+      AwaitEvent(done[0], "lat execute done");
+
+      PJRT_Buffer_ToHostBuffer_Args lth;
+      std::memset(&lth, 0, sizeof(lth));
+      lth.struct_size = PJRT_Buffer_ToHostBuffer_Args_STRUCT_SIZE;
+      lth.src = out_row[0];
+      Check(g_api->PJRT_Buffer_ToHostBuffer(&lth), "lat size");
+      lat_logits.resize(lth.dst_size / sizeof(float));
+      std::memset(&lth, 0, sizeof(lth));
+      lth.struct_size = PJRT_Buffer_ToHostBuffer_Args_STRUCT_SIZE;
+      lth.src = out_row[0];
+      lth.dst = lat_logits.data();
+      lth.dst_size = lat_logits.size() * sizeof(float);
+      Check(g_api->PJRT_Buffer_ToHostBuffer(&lth), "lat fetch");
+      AwaitEvent(lth.event, "lat device->host");
+      size_t best = 0;
+      for (size_t j = 1; j < lat_logits.size() && j < 1000; ++j)
+        if (lat_logits[j] > lat_logits[best]) best = j;
+      (void)best;
+      samples.push_back(
+          std::chrono::duration<double>(std::chrono::steady_clock::now() - t0)
+              .count());
+
+      PJRT_Buffer_Destroy_Args bd;
+      std::memset(&bd, 0, sizeof(bd));
+      bd.struct_size = PJRT_Buffer_Destroy_Args_STRUCT_SIZE;
+      bd.buffer = out_row[0];
+      g_api->PJRT_Buffer_Destroy(&bd);
+      std::memset(&bd, 0, sizeof(bd));
+      bd.struct_size = PJRT_Buffer_Destroy_Args_STRUCT_SIZE;
+      bd.buffer = lhb.buffer;
+      g_api->PJRT_Buffer_Destroy(&bd);
+    }
+    std::sort(samples.begin(), samples.end());
+    double p50 = samples[samples.size() / 2] * 1e3;
+    double p99 = samples[(size_t)(samples.size() * 0.99) >= samples.size()
+                             ? samples.size() - 1
+                             : (size_t)(samples.size() * 0.99)] * 1e3;
+    std::printf("latency_ms {\"samples\": %d, \"p50\": %.3f, \"p99\": %.3f}\n",
+                latency, p50, p99);
+  }
   return 0;
 }

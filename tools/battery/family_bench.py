@@ -56,5 +56,13 @@ for model in ("resnet18", "resnet34", "resnet50", "resnet152"):
             row[backend] = {"error": f"{type(e).__name__}: {e}"}
         print(json.dumps(row), flush=True)
     rows.append(row)
+    # Persist incrementally: an unattended run must leave more than stdout,
+    # and the chip window may close between models.
+    import time as _time
+
+    (Path(__file__).resolve().parents[2] / "FAMILY_BENCH.json").write_text(
+        json.dumps({"batch": BATCH, "size": SIZE, "rows": rows,
+                    "unix_time": int(_time.time())}, indent=1)
+    )
 
 print("FAMILY_BENCH " + json.dumps(rows), flush=True)

@@ -45,7 +45,7 @@ exec env AXON_POOL_SVC_OVERRIDE=127.0.0.1 TPU_WORKER_HOSTNAMES=localhost \
     TPU_SKIP_MDS_QUERY=true \
     ./resnetc_tpu/native/resnetc_pjrt_serve "$PLUGIN" \
     "$OUT/model.mlir" "$OUT/compile_options.pb" "$OUT/input.f32" \
-    1 224 224 3 --loop 5 \
+    1 224 224 3 --loop 5 --latency 50 \
     --copt remote_compile=1 --copt local_only=0 --copt priority=0 \
     --copt topology=v5e:1x1x1 --copt n_slices=1 --copt rank=4294967295 \
     --copt session_id=resnetc-pjrt-serve-$$

@@ -433,6 +433,37 @@ def _():
     return 0.0
 
 
+@check("int8_chain L1 pixel-paired kernels bit-match per-block (on chip)", 0.0)
+def _():
+    from resnetc_tpu.ops.pallas import fused
+    from resnetc_tpu.tensor import BF16
+
+    cfg, _, folded, x, ref = _fixture()
+    scales = fused.calibrate_chain_scales(cfg, folded, x)
+    qtree = fused.quantize_chain(cfg, folded)
+
+    def run():
+        return np.asarray(
+            jax.jit(
+                lambda f, s, xx: fused.fused_forward_int8_chain(
+                    cfg, f, s, xx, policy=BF16
+                )
+            )(qtree, scales, x),
+            np.float32,
+        )
+
+    old = fused.L1_PIXEL_PAIR
+    try:
+        fused.L1_PIXEL_PAIR = False
+        want = run()
+        fused.L1_PIXEL_PAIR = True
+        got = run()
+    finally:
+        fused.L1_PIXEL_PAIR = old
+    assert (got == want).all(), "pixel-paired L1 diverges from per-block"
+    return 0.0
+
+
 @check("int8_chain ds pair_dma gather bit-matches the 4-plane gather", 0.0)
 def _():
     from resnetc_tpu.ops.pallas import fused
