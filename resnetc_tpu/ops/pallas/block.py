@@ -1234,6 +1234,294 @@ def bottleneck_block_chained_int8_pp(
     return out.reshape(b * hp * wp, c4)
 
 
+def _pick_bt_run_int8_pp(b: int, hp: int, wpp: int, c2: int, cin2: int,
+                         c4p: int, n_blocks: int) -> int:
+    """Pair-space twin of _pick_bt_run_int8 (walk only; 0 = does not fit)."""
+    budget = 56 * 2**20
+    weights = n_blocks * (cin2 * c2 + 3 * c2 * 3 * c2 + c2 * c4p)
+
+    def work(bt: int) -> int:
+        rows = bt * hp * wpp
+        return (
+            2 * rows * cin2 * 1
+            + 2 * rows * c4p * 1                 # act ping-pong
+            + (rows + 2 * wpp) * 3 * c2 * 1
+            + (rows + 2 * wpp) * 3 * c2 * 4
+            + rows * c2 * 4
+            + rows * c2 * 4                      # mask f32
+            + 2 * rows * c4p * 1
+            + weights
+        )
+
+    best = 0
+    for bt in range(1, b + 1):
+        if b % bt:
+            continue
+        if work(bt) > budget:
+            break
+        best = bt
+    return best
+
+
+def _run_chained_kernel_int8_pp(
+    x_ref, w1s_ref, c1s_ref, w2ps_ref, c2s_ref, w3s_ref, c3s_ref, mask_ref,
+    a1s_ref, a2s_ref, a3s_ref, s_ref,
+    o_ref, z1_ref, act_ref,
+    *, n_blocks, bt, hp, wpp, c2, cin2, c4p, emit_i8,
+    w10_ref=None, wd_ref=None, ad_ref=None, cd_ref=None,
+):
+    """Pixel-paired twin of _run_chained_kernel_int8: N blocks over one
+    VMEM-resident PAIRED activation (see the pp section comment).  Stacked
+    pair-space params: w1s (N*c4p, c2) block-diag (or (N-1)*c4p with the
+    proj form), w2ps (N*3*c2, 3*c2) pair-packed, w3s (N*c2, c4p)
+    block-diag; scale/bias rows lane-tiled to pair width."""
+    rows = bt * hp * wpp
+    has_proj = w10_ref is not None
+
+    for n in range(n_blocks):
+        last = n == n_blocks - 1
+        x_full = x_ref[:] if n == 0 else act_ref[(n - 1) % 2]
+
+        if has_proj and n == 0:
+            w1_n = w10_ref[:]
+        elif has_proj:
+            w1_n = w1s_ref[(n - 1) * c4p : n * c4p, :]
+        else:
+            w1_n = w1s_ref[n * c4p : (n + 1) * c4p, :]
+        z1 = jax.lax.dot_general(
+            x_full, w1_n,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        z1 = jnp.maximum(
+            z1.astype(jnp.float32) * a1s_ref[n : n + 1, :].astype(jnp.float32)
+            + c1s_ref[n : n + 1, :].astype(jnp.float32),
+            0.0,
+        )
+        z1 = z1 * mask_ref[:]
+        z1 = jnp.minimum(jnp.round(z1), 127.0).astype(jnp.int8)
+
+        _interleave_kw(z1_ref, z1, rows=rows, wp=wpp, slot=c2, width=c2)
+
+        P = jax.lax.dot_general(
+            z1_ref[:], w2ps_ref[n * 3 * c2 : (n + 1) * 3 * c2, :],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        acc2 = (
+            jax.lax.slice(P, (0, 0), (rows, c2)).astype(jnp.float32)
+            * a2s_ref[3 * n : 3 * n + 1, :].astype(jnp.float32)
+            + jax.lax.slice(P, (wpp, c2), (wpp + rows, 2 * c2)).astype(jnp.float32)
+            * a2s_ref[3 * n + 1 : 3 * n + 2, :].astype(jnp.float32)
+            + jax.lax.slice(P, (2 * wpp, 2 * c2), (2 * wpp + rows, 3 * c2)).astype(
+                jnp.float32
+            )
+            * a2s_ref[3 * n + 2 : 3 * n + 3, :].astype(jnp.float32)
+        )
+        z2 = jnp.maximum(acc2 + c2s_ref[n : n + 1, :].astype(jnp.float32), 0.0)
+        z2 = jnp.minimum(jnp.round(z2), 127.0).astype(jnp.int8)
+
+        s_res = s_ref[n]
+        chunk = rows
+        while chunk > 1024 and chunk % 2 == 0:
+            chunk //= 2
+        for lo in range(0, rows, chunk):
+            y = jax.lax.dot_general(
+                jax.lax.slice_in_dim(z2, lo, lo + chunk, axis=0),
+                w3s_ref[n * c2 : (n + 1) * c2, :],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )
+            y = y.astype(jnp.float32) * a3s_ref[n : n + 1, :].astype(jnp.float32)
+            y = y + c3s_ref[n : n + 1, :].astype(jnp.float32)
+            if has_proj and n == 0:
+                sc = jax.lax.dot_general(
+                    x_ref[lo : lo + chunk, :], wd_ref[:],
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32,
+                )
+                y = y + (
+                    sc.astype(jnp.float32) * ad_ref[:].astype(jnp.float32)
+                    + cd_ref[:].astype(jnp.float32)
+                )
+            else:
+                if n == 0:
+                    res = x_ref[lo : lo + chunk, :]
+                else:
+                    res = act_ref[(n - 1) % 2, lo : lo + chunk, :]
+                y = y + res.astype(jnp.float32) * s_res
+            y = jnp.maximum(y, 0.0)
+            if last and not emit_i8:
+                o_ref[lo : lo + chunk, :] = y.astype(o_ref.dtype)
+            else:
+                yq = jnp.minimum(jnp.round(y), 127.0).astype(jnp.int8)
+                if last:
+                    o_ref[lo : lo + chunk, :] = yq
+                else:
+                    act_ref[n % 2, lo : lo + chunk, :] = yq
+
+
+@functools.partial(
+    jax.jit, static_argnames=("h", "w_sp", "emit_i8", "bt", "interpret")
+)
+def bottleneck_run_chained_int8_pp(
+    xq: jax.Array,
+    w1q_s: jax.Array, sw1_s: jax.Array, b1_s: jax.Array,
+    w2pq_s: jax.Array, sw2p_s: jax.Array, b2_s: jax.Array,
+    w3q_s: jax.Array, sw3_s: jax.Array, b3_s: jax.Array,
+    scales_s: jax.Array,
+    *,
+    h: int, w_sp: int,
+    emit_i8: bool = True,
+    bt: int | None = None,
+    interpret: bool = False,
+    w1q0: jax.Array | None = None,
+    wdq: jax.Array | None = None,
+    swd: jax.Array | None = None,
+    bd: jax.Array | None = None,
+) -> jax.Array:
+    """Pixel-paired run of N bottleneck blocks as ONE kernel — the pp twin
+    of bottleneck_run_chained_int8 (same stacked-input contract; c=64 only).
+    Stacks the two measured wins: run-fusion's removed inter-block HBM
+    round trips (1.14x at L1, PERF round 3) and pp's N=128 dots."""
+    has_proj = w1q0 is not None
+    if has_proj:
+        n_m1, c4, c = w1q_s.shape
+        n_blocks = n_m1 + 1
+        cin = w1q0.shape[0]
+        assert wdq is not None and wdq.shape == (cin, c4), (wdq,)
+    else:
+        n_blocks, c4, c = w1q_s.shape
+        cin = c4
+    assert c == 64, f"pp run kernel is for the c=64 (L1) stage only, got {c}"
+    hp, wp = chain_meta(0, h, w_sp)
+    assert wp % 2 == 0, (wp,)
+    wpp = wp // 2
+    c2, cin2, c4p = 2 * c, 2 * cin, 2 * c4
+    total_rows, cin_in = xq.shape
+    b = total_rows // (hp * wp)
+    assert b * hp * wp == total_rows and cin_in == cin, (xq.shape,)
+    bt = bt or _pick_bt_run_int8_pp(b, hp, wpp, c2, cin2, c4p, n_blocks)
+    assert bt > 0, "pp stage run does not fit VMEM; use per-block pp kernels"
+    rows = bt * hp * wpp
+    out_dtype = jnp.int8 if emit_i8 else jnp.bfloat16
+
+    xpp = xq.reshape(total_rows // 2, cin2)
+
+    # Pair-space stacked weights.
+    w1bd_s = jnp.concatenate(
+        [_pp_block_diag(w1q_s[i]) for i in range(w1q_s.shape[0])], axis=0
+    )  # ((N or N-1)*c4p, c2)
+    w2pp_s = jnp.concatenate(
+        [_pp_pack_conv2(w2pq_s[i], c) for i in range(n_blocks)], axis=0
+    )  # (N*3*c2, 3*c2)
+    w3bd_s = jnp.concatenate(
+        [_pp_block_diag(w3q_s[i]) for i in range(n_blocks)], axis=0
+    )  # (N*c2, c4p)
+
+    # Host-side per-block scale folding, lane-tiled (same factors as the
+    # std run wrapper; last block's s_y = 1 on bf16 exit).
+    s_x = scales_s[:, 0]
+    s_z1 = scales_s[:, 1]
+    s_z2 = scales_s[:, 2]
+    s_y = scales_s[:, 3]
+    if not emit_i8:
+        s_y = s_y.at[n_blocks - 1].set(1.0)
+    t2 = lambda v: jnp.tile(v, (1, 2))
+    a1s = t2(sw1_s.astype(jnp.float32) * (s_x / s_z1)[:, None])
+    c1s = t2(b1_s.astype(jnp.float32) * (1.0 / s_z1)[:, None])
+    a2s = jnp.tile(
+        (sw2p_s.astype(jnp.float32)
+         * (s_z1 / s_z2)[:, None]).reshape(n_blocks * 3, c),
+        (1, 2),
+    )
+    c2s = t2(b2_s.astype(jnp.float32) * (1.0 / s_z2)[:, None])
+    a3s = t2(sw3_s.astype(jnp.float32) * (s_z2 / s_y)[:, None])
+    c3s = t2(b3_s.astype(jnp.float32) * (1.0 / s_y)[:, None])
+    s_run = (s_x / s_y).astype(jnp.float32)
+
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (hp * wp, 1), 0)
+    r, cc = row_ids // wp, row_ids % wp
+    mask = ((r >= 1) & (r <= h) & (cc >= 1) & (cc <= w_sp)).astype(jnp.float32)
+    mask_pp = jnp.repeat(mask.reshape(hp * wpp, 2), c, axis=1)
+    mask_t = jnp.tile(mask_pp, (bt, 1))
+
+    nw1 = w1bd_s.shape[0]
+    in_specs = [
+        pl.BlockSpec((rows, cin2), lambda i: (i, 0)),
+        pl.BlockSpec((nw1, c2), lambda i: (0, 0)),
+        pl.BlockSpec((n_blocks, c2), lambda i: (0, 0)),
+        pl.BlockSpec((n_blocks * 3 * c2, 3 * c2), lambda i: (0, 0)),
+        pl.BlockSpec((n_blocks, c2), lambda i: (0, 0)),
+        pl.BlockSpec((n_blocks * c2, c4p), lambda i: (0, 0)),
+        pl.BlockSpec((n_blocks, c4p), lambda i: (0, 0)),
+        pl.BlockSpec((rows, c2), lambda i: (0, 0)),
+        pl.BlockSpec((n_blocks, c2), lambda i: (0, 0)),
+        pl.BlockSpec((n_blocks * 3, c2), lambda i: (0, 0)),
+        pl.BlockSpec((n_blocks, c4p), lambda i: (0, 0)),
+    ]
+    operands = [
+        xpp, w1bd_s, c1s, w2pp_s, c2s, w3bd_s, c3s, mask_t,
+        a1s, a2s, a3s,
+    ]
+    if has_proj:
+        w10bd = _pp_block_diag(w1q0)
+        wdbd = _pp_block_diag(wdq)
+        ad = jnp.tile((swd.astype(jnp.float32) * (s_x[0] / s_y[0])), 2)[None, :]
+        cd = jnp.tile((bd.astype(jnp.float32) * (1.0 / s_y[0])), 2)[None, :]
+        in_specs += [
+            pl.BlockSpec((cin2, c2), lambda i: (0, 0)),
+            pl.BlockSpec((cin2, c4p), lambda i: (0, 0)),
+            pl.BlockSpec((1, c4p), lambda i: (0, 0)),
+            pl.BlockSpec((1, c4p), lambda i: (0, 0)),
+        ]
+        operands += [w10bd, wdbd, ad, cd]
+    in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+    operands.append(s_run)
+
+    def kernel(*refs):
+        x, w1s, c1s_, w2ps, c2s_, w3s, c3s_, msk, a1, a2, a3 = refs[:11]
+        idx = 11
+        w10 = wd = ad_ = cd_ = None
+        if has_proj:
+            w10, wd, ad_, cd_ = refs[idx : idx + 4]
+            idx += 4
+        s = refs[idx]
+        o, z1, act = refs[idx + 1], refs[idx + 2], refs[idx + 3]
+        _run_chained_kernel_int8_pp(
+            x, w1s, c1s_, w2ps, c2s_, w3s, c3s_, msk, a1, a2, a3, s,
+            o, z1, act,
+            n_blocks=n_blocks, bt=bt, hp=hp, wpp=wpp, c2=c2, cin2=cin2,
+            c4p=c4p, emit_i8=emit_i8,
+            w10_ref=w10, wd_ref=wd, ad_ref=ad_, cd_ref=cd_,
+        )
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(b // bt,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((rows, c4p), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((b * hp * wp // 2, c4p), out_dtype),
+        scratch_shapes=[
+            pltpu.VMEM((rows + 2 * wpp, 3 * c2), jnp.int8),
+            pltpu.VMEM((2, rows, c4p), jnp.int8),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+            vmem_limit_bytes=100 * 2**20,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * (b * hp * wp // 2)
+            * (n_blocks * (c4p * c2 + 3 * (3 * c2) * c2 + c2 * c4p)
+               + (cin2 * c4p if has_proj else 0)),
+            bytes_accessed=b * hp * wp * (cin + c4),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(*operands)
+    return out.reshape(b * hp * wp, c4)
+
+
 # ---------------------------------------------------------------------------
 # BASIC-block megakernel (int8): one stride-1 BasicBlock (ResNet-18/34) as
 # ONE kernel over the chained padded-row layout — two 3x3 convs, both via
@@ -1612,6 +1900,358 @@ def basic_run_chained_int8(
     )(
         xq, pad_slots(w1pq_s), c1, pad_slots(w2pq_s), c2, mask_t, a1, a2, s_res
     )
+
+
+def _basic_chained_kernel_int8_pp(
+    x_ref, w1p_ref, c1_ref, w2p_ref, c2_ref, mask_ref,
+    a1_ref, a2_ref, s_ref,
+    o_ref, il_ref,
+    *, bt, hp, wpp, c2, emit_i8,
+):
+    """Pixel-paired twin of _basic_chained_kernel_int8 (c=64 / the basic
+    family's L1): both 3x3s run in pair space with dense slots and N=128
+    dots (see the bottleneck pp section comment — same construction, the
+    conv1-is-a-3x3 difference means x is masked INTO the interleave).
+    mask_ref (rows_pp, c2) f32 lane-varying (pad parity differs inside
+    boundary pairs)."""
+    rows = bt * hp * wpp
+    s_res = s_ref[0]
+
+    def interleave(vals):
+        _interleave_kw(il_ref, vals, rows=rows, wp=wpp, slot=c2, width=c2)
+
+    def conv3x3(wp_ref, a_ref):
+        P = jax.lax.dot_general(
+            il_ref[:], wp_ref[:],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        return (
+            jax.lax.slice(P, (0, 0), (rows, c2)).astype(jnp.float32)
+            * a_ref[0:1, :].astype(jnp.float32)
+            + jax.lax.slice(P, (wpp, c2), (wpp + rows, 2 * c2)).astype(jnp.float32)
+            * a_ref[1:2, :].astype(jnp.float32)
+            + jax.lax.slice(P, (2 * wpp, 2 * c2), (2 * wpp + rows, 3 * c2)).astype(
+                jnp.float32
+            )
+            * a_ref[2:3, :].astype(jnp.float32)
+        )
+
+    xm = jnp.where(mask_ref[:] > 0.0, x_ref[:], jnp.int8(0))
+    interleave(xm)
+    z1 = jnp.maximum(conv3x3(w1p_ref, a1_ref) + c1_ref[:].astype(jnp.float32), 0.0)
+    z1 = z1 * mask_ref[:]
+    z1 = jnp.minimum(jnp.round(z1), 127.0).astype(jnp.int8)
+
+    interleave(z1)
+    y = conv3x3(w2p_ref, a2_ref) + c2_ref[:].astype(jnp.float32)
+    y = y + x_ref[:].astype(jnp.float32) * s_res
+    y = jnp.maximum(y, 0.0)
+    if emit_i8:
+        o_ref[:] = jnp.minimum(jnp.round(y), 127.0).astype(jnp.int8)
+    else:
+        o_ref[:] = y.astype(o_ref.dtype)
+
+
+def _pick_bt_basic_int8_pp(b: int, hp: int, wpp: int, c2: int) -> int:
+    """Pair-space working-set walk for the pp basic kernel."""
+    budget = 40 * 2**20
+
+    def work(bt: int) -> int:
+        rows = bt * hp * wpp
+        return (
+            2 * rows * c2 * 1
+            + (rows + 2 * wpp) * 3 * c2 * 1
+            + (rows + 2 * wpp) * 3 * c2 * 4
+            + rows * c2 * 4
+            + rows * c2 * 4
+            + 2 * rows * c2 * 1
+            + 2 * 9 * c2 * c2
+        )
+
+    best = 1
+    for bt in range(1, b + 1):
+        if b % bt:
+            continue
+        if work(bt) > budget:
+            break
+        best = bt
+    return best
+
+
+def basic_block_chained_int8_pp(
+    xq: jax.Array,
+    w1pq: jax.Array, sw1p: jax.Array, b1: jax.Array,
+    w2pq: jax.Array, sw2p: jax.Array, b2: jax.Array,
+    scales: jax.Array,
+    *,
+    h: int, w_sp: int,
+    emit_i8: bool = True,
+    bt: int | None = None,
+    interpret: bool = False,
+) -> jax.Array:
+    """Pixel-paired stride-1 BasicBlock (c=64 / L1 shapes).  SAME contract
+    as basic_block_chained_int8 — the pairing is an internal contiguous
+    view; pp and standard basic blocks interoperate freely in a chain."""
+    c = sw1p.shape[-1] // 3
+    assert c == 64, f"pp basic kernel is for the c=64 stage only, got {c}"
+    hp, wp = chain_meta(0, h, w_sp)
+    assert wp % 2 == 0, (wp,)
+    wpp = wp // 2
+    c2 = 2 * c
+    total_rows, cin_in = xq.shape
+    b = total_rows // (hp * wp)
+    assert b * hp * wp == total_rows and cin_in == c, (xq.shape, c)
+    bt = bt or _pick_bt_basic_int8_pp(b, hp, wpp, c2)
+    rows = bt * hp * wpp
+    out_dtype = jnp.int8 if emit_i8 else jnp.bfloat16
+
+    xpp = xq.reshape(total_rows // 2, c2)
+    w1pp = _pp_pack_conv2(w1pq, c)
+    w2pp = _pp_pack_conv2(w2pq, c)
+
+    s_x, s_z1 = scales[0], scales[1]
+    s_y = scales[2] if emit_i8 else jnp.float32(1.0)
+    a1 = jnp.tile((sw1p.astype(jnp.float32) * (s_x / s_z1)).reshape(3, c),
+                  (1, 2))
+    c1 = jnp.tile((b1.astype(jnp.float32) * (1.0 / s_z1)), 2)[None, :]
+    a2 = jnp.tile((sw2p.astype(jnp.float32) * (s_z1 / s_y)).reshape(3, c),
+                  (1, 2))
+    c2v = jnp.tile((b2.astype(jnp.float32) * (1.0 / s_y)), 2)[None, :]
+    s_res = jnp.reshape(s_x / s_y, (1,)).astype(jnp.float32)
+
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (hp * wp, 1), 0)
+    r, cc = row_ids // wp, row_ids % wp
+    mask = ((r >= 1) & (r <= h) & (cc >= 1) & (cc <= w_sp)).astype(jnp.float32)
+    mask_pp = jnp.repeat(mask.reshape(hp * wpp, 2), c, axis=1)
+    mask_t = jnp.tile(mask_pp, (bt, 1))
+
+    out = pl.pallas_call(
+        functools.partial(
+            _basic_chained_kernel_int8_pp,
+            bt=bt, hp=hp, wpp=wpp, c2=c2, emit_i8=emit_i8,
+        ),
+        grid=(b // bt,),
+        in_specs=[
+            pl.BlockSpec((rows, c2), lambda i: (i, 0)),
+            pl.BlockSpec((3 * c2, 3 * c2), lambda i: (0, 0)),
+            pl.BlockSpec((1, c2), lambda i: (0, 0)),
+            pl.BlockSpec((3 * c2, 3 * c2), lambda i: (0, 0)),
+            pl.BlockSpec((1, c2), lambda i: (0, 0)),
+            pl.BlockSpec((rows, c2), lambda i: (0, 0)),
+            pl.BlockSpec((3, c2), lambda i: (0, 0)),
+            pl.BlockSpec((3, c2), lambda i: (0, 0)),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((rows, c2), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((b * hp * wp // 2, c2), out_dtype),
+        scratch_shapes=[
+            pltpu.VMEM((rows + 2 * wpp, 3 * c2), jnp.int8),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+            vmem_limit_bytes=100 * 2**20,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * (b * hp * wp // 2) * 2 * (3 * c2) * c2 * 3,
+            bytes_accessed=2 * b * hp * wp * c + 2 * 9 * c2 * c2,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(
+        xpp, w1pp, c1, w2pp, c2v, mask_t, a1, a2, s_res
+    )
+    return out.reshape(b * hp * wp, c)
+
+
+def _run_basic_kernel_int8_pp(
+    x_ref, w1ps_ref, c1s_ref, w2ps_ref, c2s_ref, mask_ref,
+    a1s_ref, a2s_ref, s_ref,
+    o_ref, il_ref, act_ref,
+    *, n_blocks, bt, hp, wpp, c2, emit_i8,
+):
+    """Pixel-paired twin of _run_basic_kernel_int8: N basic blocks over one
+    VMEM-resident PAIRED activation."""
+    rows = bt * hp * wpp
+
+    def interleave(vals):
+        _interleave_kw(il_ref, vals, rows=rows, wp=wpp, slot=c2, width=c2)
+
+    def conv3x3(n, wps_ref, as_ref):
+        P = jax.lax.dot_general(
+            il_ref[:], wps_ref[n * 3 * c2 : (n + 1) * 3 * c2, :],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        return (
+            jax.lax.slice(P, (0, 0), (rows, c2)).astype(jnp.float32)
+            * as_ref[3 * n : 3 * n + 1, :].astype(jnp.float32)
+            + jax.lax.slice(P, (wpp, c2), (wpp + rows, 2 * c2)).astype(jnp.float32)
+            * as_ref[3 * n + 1 : 3 * n + 2, :].astype(jnp.float32)
+            + jax.lax.slice(P, (2 * wpp, 2 * c2), (2 * wpp + rows, 3 * c2)).astype(
+                jnp.float32
+            )
+            * as_ref[3 * n + 2 : 3 * n + 3, :].astype(jnp.float32)
+        )
+
+    for n in range(n_blocks):
+        last = n == n_blocks - 1
+        x_full = x_ref[:] if n == 0 else act_ref[(n - 1) % 2]
+
+        xm = jnp.where(mask_ref[:] > 0.0, x_full, jnp.int8(0))
+        interleave(xm)
+        z1 = jnp.maximum(
+            conv3x3(n, w1ps_ref, a1s_ref)
+            + c1s_ref[n : n + 1, :].astype(jnp.float32),
+            0.0,
+        )
+        z1 = z1 * mask_ref[:]
+        z1 = jnp.minimum(jnp.round(z1), 127.0).astype(jnp.int8)
+
+        interleave(z1)
+        y = conv3x3(n, w2ps_ref, a2s_ref) + c2s_ref[n : n + 1, :].astype(
+            jnp.float32
+        )
+        y = y + x_full.astype(jnp.float32) * s_ref[n]
+        y = jnp.maximum(y, 0.0)
+        if last and not emit_i8:
+            o_ref[:] = y.astype(o_ref.dtype)
+        else:
+            yq = jnp.minimum(jnp.round(y), 127.0).astype(jnp.int8)
+            if last:
+                o_ref[:] = yq
+            else:
+                act_ref[n % 2] = yq
+
+
+def _pick_bt_basic_run_int8_pp(b: int, hp: int, wpp: int, c2: int,
+                               n_blocks: int) -> int:
+    """Pair-space walk for the pp basic run kernel (0 = does not fit)."""
+    budget = 56 * 2**20
+
+    def work(bt: int) -> int:
+        rows = bt * hp * wpp
+        return (
+            2 * rows * c2 * 1
+            + 2 * rows * c2 * 1
+            + (rows + 2 * wpp) * 3 * c2 * 1
+            + (rows + 2 * wpp) * 3 * c2 * 4
+            + rows * c2 * 4
+            + rows * c2 * 4
+            + 2 * rows * c2 * 1
+            + n_blocks * 2 * 9 * c2 * c2
+        )
+
+    best = 0
+    for bt in range(1, b + 1):
+        if b % bt:
+            continue
+        if work(bt) > budget:
+            break
+        best = bt
+    return best
+
+
+def basic_run_chained_int8_pp(
+    xq: jax.Array,
+    w1pq_s: jax.Array, sw1p_s: jax.Array, b1_s: jax.Array,
+    w2pq_s: jax.Array, sw2p_s: jax.Array, b2_s: jax.Array,
+    scales_s: jax.Array,
+    *,
+    h: int, w_sp: int,
+    emit_i8: bool = True,
+    bt: int | None = None,
+    interpret: bool = False,
+) -> jax.Array:
+    """Pixel-paired run of N stride-1 BasicBlocks as ONE kernel (the pp
+    twin of basic_run_chained_int8; same stacked-input contract, c=64)."""
+    n_blocks = w1pq_s.shape[0]
+    c = sw1p_s.shape[-1] // 3
+    assert c == 64, f"pp basic run is for the c=64 stage only, got {c}"
+    hp, wp = chain_meta(0, h, w_sp)
+    assert wp % 2 == 0, (wp,)
+    wpp = wp // 2
+    c2 = 2 * c
+    total_rows, cin_in = xq.shape
+    b = total_rows // (hp * wp)
+    assert b * hp * wp == total_rows and cin_in == c, (xq.shape, c)
+    bt = bt or _pick_bt_basic_run_int8_pp(b, hp, wpp, c2, n_blocks)
+    assert bt > 0, "pp basic run does not fit VMEM; use per-block pp kernels"
+    rows = bt * hp * wpp
+    out_dtype = jnp.int8 if emit_i8 else jnp.bfloat16
+
+    xpp = xq.reshape(total_rows // 2, c2)
+    w1pp_s = jnp.concatenate(
+        [_pp_pack_conv2(w1pq_s[i], c) for i in range(n_blocks)], axis=0
+    )
+    w2pp_s = jnp.concatenate(
+        [_pp_pack_conv2(w2pq_s[i], c) for i in range(n_blocks)], axis=0
+    )
+
+    s_x = scales_s[:, 0]
+    s_z1 = scales_s[:, 1]
+    s_y = scales_s[:, 2]
+    if not emit_i8:
+        s_y = s_y.at[n_blocks - 1].set(1.0)
+    a1 = jnp.tile(
+        (sw1p_s.astype(jnp.float32) * (s_x / s_z1)[:, None]).reshape(
+            n_blocks * 3, c
+        ),
+        (1, 2),
+    )
+    c1 = jnp.tile(b1_s.astype(jnp.float32) * (1.0 / s_z1)[:, None], (1, 2))
+    a2 = jnp.tile(
+        (sw2p_s.astype(jnp.float32) * (s_z1 / s_y)[:, None]).reshape(
+            n_blocks * 3, c
+        ),
+        (1, 2),
+    )
+    c2v = jnp.tile(b2_s.astype(jnp.float32) * (1.0 / s_y)[:, None], (1, 2))
+    s_run = (s_x / s_y).astype(jnp.float32)
+
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (hp * wp, 1), 0)
+    r, cc = row_ids // wp, row_ids % wp
+    mask = ((r >= 1) & (r <= h) & (cc >= 1) & (cc <= w_sp)).astype(jnp.float32)
+    mask_pp = jnp.repeat(mask.reshape(hp * wpp, 2), c, axis=1)
+    mask_t = jnp.tile(mask_pp, (bt, 1))
+
+    out = pl.pallas_call(
+        functools.partial(
+            _run_basic_kernel_int8_pp,
+            n_blocks=n_blocks, bt=bt, hp=hp, wpp=wpp, c2=c2, emit_i8=emit_i8,
+        ),
+        grid=(b // bt,),
+        in_specs=[
+            pl.BlockSpec((rows, c2), lambda i: (i, 0)),
+            pl.BlockSpec((n_blocks * 3 * c2, 3 * c2), lambda i: (0, 0)),
+            pl.BlockSpec((n_blocks, c2), lambda i: (0, 0)),
+            pl.BlockSpec((n_blocks * 3 * c2, 3 * c2), lambda i: (0, 0)),
+            pl.BlockSpec((n_blocks, c2), lambda i: (0, 0)),
+            pl.BlockSpec((rows, c2), lambda i: (0, 0)),
+            pl.BlockSpec((n_blocks * 3, c2), lambda i: (0, 0)),
+            pl.BlockSpec((n_blocks * 3, c2), lambda i: (0, 0)),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((rows, c2), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((b * hp * wp // 2, c2), out_dtype),
+        scratch_shapes=[
+            pltpu.VMEM((rows + 2 * wpp, 3 * c2), jnp.int8),
+            pltpu.VMEM((2, rows, c2), jnp.int8),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+            vmem_limit_bytes=100 * 2**20,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * (b * hp * wp // 2) * n_blocks * 2 * (3 * c2) * c2 * 3,
+            bytes_accessed=2 * b * hp * wp * c,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(
+        xpp, w1pp_s, c1, w2pp_s, c2v, mask_t, a1, a2, s_run
+    )
+    return out.reshape(b * hp * wp, c)
 
 
 def quantize_basic_block(blk: dict) -> dict:

@@ -813,6 +813,8 @@ def _basic_int8_chain_forward(
     path: block k's output scale is block k+1's "in"."""
     from resnetc_tpu.ops.pallas.block import (
         basic_block_chained_int8,
+        basic_block_chained_int8_pp,
+        basic_run_chained_int8_pp,
         pad_for_chain,
         unpad_from_chain,
     )
@@ -906,23 +908,39 @@ def _basic_int8_chain_forward(
             start = 1
 
         use_run = False
+        # Pixel-paired stage 0 (c=64): same flag/construction as the
+        # bottleneck family (see block.py's pp section).
+        from resnetc_tpu.ops.pallas.block import chain_meta as _cm
+
+        pp_stage = (
+            stage == 0 and L1_PIXEL_PAIR
+            and blocks[str(start)]["sw1p"].shape[-1] // 3 == 64
+            and _cm(0, h, w_sp)[1] % 2 == 0
+        )
         if nb - start > 1 and stage in BASIC_RUN_FUSE_STAGES:
             from resnetc_tpu.ops.pallas.block import (
-                _pick_bt_basic_run_int8, basic_run_chained_int8, chain_meta,
+                _pick_bt_basic_run_int8, _pick_bt_basic_run_int8_pp,
+                basic_run_chained_int8, chain_meta,
             )
 
             hp, wp = chain_meta(0, h, w_sp)
             c = blocks[str(start)]["sw1p"].shape[-1] // 3
             # VMEM-fit guard: degrade to per-block kernels, same contract
             # as the bottleneck run fusion.
-            use_run = _pick_bt_basic_run_int8(
-                yr.shape[0] // (hp * wp), hp, wp, c, nb - start
-            ) > 0
+            if pp_stage:
+                use_run = _pick_bt_basic_run_int8_pp(
+                    yr.shape[0] // (hp * wp), hp, wp // 2, 2 * c, nb - start
+                ) > 0
+            else:
+                use_run = _pick_bt_basic_run_int8(
+                    yr.shape[0] // (hp * wp), hp, wp, c, nb - start
+                ) > 0
         if use_run:
             run = [blocks[str(i)] for i in range(start, nb)]
             stk = lambda key: jnp.stack([r[key] for r in run])
             last = s_after(stage, nb - 1) is None
-            yr = basic_run_chained_int8(
+            run_fn = basic_run_chained_int8_pp if pp_stage else basic_run_chained_int8
+            yr = run_fn(
                 yr,
                 stk("w1pq"), stk("sw1p"), stk("b1"),
                 stk("w2pq"), stk("sw2p"), stk("b2"),
@@ -930,10 +948,11 @@ def _basic_int8_chain_forward(
                 h=h, w_sp=w_sp, emit_i8=not last, interpret=interpret,
             )
         else:
+            blk_fn = basic_block_chained_int8_pp if pp_stage else basic_block_chained_int8
             for i in range(start, nb):
                 blk = blocks[str(i)]
                 last_i = s_after(stage, i) is None
-                yr = basic_block_chained_int8(
+                yr = blk_fn(
                     yr,
                     blk["w1pq"], blk["sw1p"], blk["b1"],
                     blk["w2pq"], blk["sw2p"], blk["b2"],
@@ -1012,6 +1031,7 @@ def fused_forward_int8_chain(
         bottleneck_block_chained_int8,
         bottleneck_block_chained_int8_pp,
         bottleneck_run_chained_int8,
+        bottleneck_run_chained_int8_pp,
         downsample_block_s2_int8,
         pad_for_chain,
         unpad_from_chain,
@@ -1168,8 +1188,8 @@ def fused_forward_int8_chain(
             # (M-starved dots); the cap is 100MB now and RUN_FUSE_STAGES is
             # module-level so the choice follows measurement (see PERF.md).
             use_run = False
-            if (nb > 1 and stage in RUN_FUSE_STAGES
-                    and not (stage == 0 and L1_PIXEL_PAIR)):
+            pp_stage = stage == 0 and L1_PIXEL_PAIR
+            if nb > 1 and stage in RUN_FUSE_STAGES:
                 from resnetc_tpu.ops.pallas.block import (
                     _pick_bt_run_int8, chain_meta,
                 )
@@ -1178,22 +1198,42 @@ def fused_forward_int8_chain(
                 c4, c = blocks["1"]["w1q"].shape
                 # VMEM-fit guard: degrade to per-block kernels rather than
                 # tripping the run kernel's fit assert on tight shapes.
-                use_run = _pick_bt_run_int8(
-                    yr.shape[0] // (hp * wp), hp, wp, c, c4, nb - 1
-                ) > 0
+                if pp_stage:
+                    from resnetc_tpu.ops.pallas.block import (
+                        _pick_bt_run_int8_pp,
+                    )
+
+                    use_run = c == 64 and wp % 2 == 0 and _pick_bt_run_int8_pp(
+                        yr.shape[0] // (hp * wp), hp, wp // 2,
+                        2 * c, 2 * c4, 2 * c4, nb - 1
+                    ) > 0
+                else:
+                    use_run = _pick_bt_run_int8(
+                        yr.shape[0] // (hp * wp), hp, wp, c, c4, nb - 1
+                    ) > 0
             if use_run:
                 run = [blocks[str(i)] for i in range(1, nb)]
                 stk = lambda key: jnp.stack([r[key] for r in run])
                 last = s_after(stage, nb - 1) is None
-                yr = bottleneck_run_chained_int8(
-                    yr,
-                    stk("w1q"), stk("sw1"), stk("b1"),
-                    stk("w2pq"), stk("sw2p"), stk("b2"),
-                    stk("w3q"), stk("sw3"), stk("b3"),
-                    jnp.stack([scale_row(stage, i) for i in range(1, nb)]),
-                    h=h, w_sp=w_sp, emit_i8=not last, interpret=interpret,
-                    pipe_dma=CHAIN_PIPE_DMA,
-                )
+                if pp_stage:
+                    yr = bottleneck_run_chained_int8_pp(
+                        yr,
+                        stk("w1q"), stk("sw1"), stk("b1"),
+                        stk("w2pq"), stk("sw2p"), stk("b2"),
+                        stk("w3q"), stk("sw3"), stk("b3"),
+                        jnp.stack([scale_row(stage, i) for i in range(1, nb)]),
+                        h=h, w_sp=w_sp, emit_i8=not last, interpret=interpret,
+                    )
+                else:
+                    yr = bottleneck_run_chained_int8(
+                        yr,
+                        stk("w1q"), stk("sw1"), stk("b1"),
+                        stk("w2pq"), stk("sw2p"), stk("b2"),
+                        stk("w3q"), stk("sw3"), stk("b3"),
+                        jnp.stack([scale_row(stage, i) for i in range(1, nb)]),
+                        h=h, w_sp=w_sp, emit_i8=not last, interpret=interpret,
+                        pipe_dma=CHAIN_PIPE_DMA,
+                    )
             elif nb > 1:
                 for i in range(1, nb):
                     blk = blocks[str(i)]

@@ -1978,3 +1978,122 @@ def test_int8_chain_l1_pixel_pair_e2e_bitmatch(rng, monkeypatch):
     monkeypatch.setattr(fused, "L1_PIXEL_PAIR", True)
     pp = fused.fused_forward_int8_chain(cfg, qtree, scales, x, interpret=True)
     assert jnp.array_equal(base, pp)
+
+
+def test_run_chained_int8_pp_matches_sequential_pp_blocks(rng):
+    """The pp run kernel must bit-match the same blocks served sequentially
+    through bottleneck_block_chained_int8_pp (same op orders; the only
+    difference is activations staying in VMEM)."""
+    from resnetc_tpu.ops.pallas.block import (
+        bottleneck_block_chained_int8_pp,
+        bottleneck_run_chained_int8_pp,
+        chain_meta,
+        quantize_chain_block,
+    )
+
+    h, cin, c = 8, 256, 64
+    hp, wp = chain_meta(0, h, h)
+    b = 4
+    g = lambda *s: jnp.asarray(rng.standard_normal(s, dtype=np.float32) * 0.1)
+    blks, scl = [], []
+    for i in range(2):
+        blks.append(quantize_chain_block({
+            "conv1": {"weight": g(cin, c), "bias": g(c)},
+            "conv2": {"weight": g(3, 3, c, c), "bias": g(c)},
+            "conv3": {"weight": g(c, 4 * c), "bias": g(4 * c)},
+        }))
+        scl.append([0.03 if i == 0 else 0.02, 0.02, 0.03, 0.02])
+    scl[0][3] = scl[1][0]  # chain contract: block i's s_y == block i+1's s_x
+    scales_s = jnp.asarray(scl, jnp.float32)
+    xr = jnp.asarray(rng.integers(-127, 128, (b * hp * wp, cin)), jnp.int8)
+
+    for emit_i8 in (True, False):
+        seq = xr
+        for i, q in enumerate(blks):
+            seq = bottleneck_block_chained_int8_pp(
+                seq, q["w1q"], q["sw1"], q["b1"], q["w2pq"], q["sw2p"],
+                q["b2"], q["w3q"], q["sw3"], q["b3"], scales_s[i],
+                h=h, w_sp=h, emit_i8=emit_i8 or i < 1, interpret=True, bt=2)
+        stk = lambda key: jnp.stack([q[key] for q in blks])
+        run = bottleneck_run_chained_int8_pp(
+            xr, stk("w1q"), stk("sw1"), stk("b1"),
+            stk("w2pq"), stk("sw2p"), stk("b2"),
+            stk("w3q"), stk("sw3"), stk("b3"), scales_s,
+            h=h, w_sp=h, emit_i8=emit_i8, interpret=True, bt=2)
+        assert run.dtype == seq.dtype
+        assert jnp.array_equal(seq, run), f"emit_i8={emit_i8}"
+
+
+def test_basic_chained_int8_pp_bitmatch(rng):
+    """Pixel-paired basic block + run must bit-match the standard basic
+    kernels (same int32/f32 op orders; see the bottleneck pp tests)."""
+    from resnetc_tpu.ops.pallas.block import (
+        basic_block_chained_int8,
+        basic_block_chained_int8_pp,
+        basic_run_chained_int8_pp,
+        chain_meta,
+        quantize_basic_block,
+    )
+
+    h, c = 8, 64
+    hp, wp = chain_meta(0, h, h)
+    assert wp % 2 == 0
+    b = 4
+    g = lambda *s: jnp.asarray(rng.standard_normal(s, dtype=np.float32) * 0.1)
+    blks, scl = [], []
+    for i in range(2):
+        blks.append(quantize_basic_block({
+            "conv1": {"weight": g(3, 3, c, c), "bias": g(c)},
+            "conv2": {"weight": g(3, 3, c, c), "bias": g(c)},
+        }))
+        scl.append([0.03 if i == 0 else 0.025, 0.02, 0.025])
+    scl[0][2] = scl[1][0]
+    scales_s = jnp.asarray(scl, jnp.float32)
+    xr = jnp.asarray(rng.integers(-127, 128, (b * hp * wp, c)), jnp.int8)
+
+    for emit_i8 in (True, False):
+        kw = dict(h=h, w_sp=h, emit_i8=emit_i8, interpret=True, bt=2)
+        base = basic_block_chained_int8(
+            xr, blks[0]["w1pq"], blks[0]["sw1p"], blks[0]["b1"],
+            blks[0]["w2pq"], blks[0]["sw2p"], blks[0]["b2"],
+            scales_s[0], **kw)
+        pp = basic_block_chained_int8_pp(
+            xr, blks[0]["w1pq"], blks[0]["sw1p"], blks[0]["b1"],
+            blks[0]["w2pq"], blks[0]["sw2p"], blks[0]["b2"],
+            scales_s[0], **kw)
+        assert pp.dtype == base.dtype
+        assert jnp.array_equal(base, pp), f"emit_i8={emit_i8}"
+
+    # pp run vs sequential pp blocks.
+    seq = xr
+    for i, q in enumerate(blks):
+        seq = basic_block_chained_int8_pp(
+            seq, q["w1pq"], q["sw1p"], q["b1"], q["w2pq"], q["sw2p"], q["b2"],
+            scales_s[i], h=h, w_sp=h, emit_i8=True, interpret=True, bt=2)
+    stk = lambda key: jnp.stack([q[key] for q in blks])
+    run = basic_run_chained_int8_pp(
+        xr, stk("w1pq"), stk("sw1p"), stk("b1"),
+        stk("w2pq"), stk("sw2p"), stk("b2"), scales_s,
+        h=h, w_sp=h, emit_i8=True, interpret=True, bt=2)
+    assert jnp.array_equal(seq, run)
+
+
+def test_basic_int8_chain_pp_e2e_bitmatch(rng, monkeypatch):
+    """resnet18-family e2e with L1_PIXEL_PAIR must match the default basic
+    chain engine bit-for-bit in interpret mode."""
+    from resnetc_tpu.models import resnet
+    from resnetc_tpu.ops.pallas import fused
+
+    cfg = resnet.get_config("resnet18")
+    variables = resnet.init(cfg, jax.random.key(0))
+    folded = resnet.fold_inference_params(cfg, variables)
+    x = jnp.asarray(
+        rng.standard_normal((2, 64, 64, 3), dtype=np.float32), jnp.bfloat16
+    )
+    scales = fused.calibrate_chain_scales(cfg, folded, x.astype(jnp.float32))
+    qtree = fused.quantize_chain(cfg, folded)
+
+    base = fused.fused_forward_int8_chain(cfg, qtree, scales, x, interpret=True)
+    monkeypatch.setattr(fused, "L1_PIXEL_PAIR", True)
+    pp = fused.fused_forward_int8_chain(cfg, qtree, scales, x, interpret=True)
+    assert jnp.array_equal(base, pp)

@@ -26,7 +26,7 @@ STATE=/tmp/session_r5.state
 touch "$STATE"
 
 probe() {
-  timeout 150 python -c "
+  timeout -k 10 150 python -c "
 import time, jax, jax.numpy as jnp, numpy as np
 assert jax.devices()[0].platform == 'tpu'
 f = jax.jit(lambda a: a @ a)
@@ -54,7 +54,7 @@ run_leg() {
   grep -qx "$name" "$STATE" && { echo "skip $name (done)"; return 0; }
   wait_responsive
   echo "=== LEG $name start $(date)"
-  timeout "$tmo" "$@"
+  timeout -k 30 "$tmo" "$@"
   local rc=$?
   echo "=== LEG $name exit=$rc $(date)"
   # A leg that ran to completion (rc=0) is done; a timed-out or failed leg
