@@ -2097,3 +2097,28 @@ def test_basic_int8_chain_pp_e2e_bitmatch(rng, monkeypatch):
     monkeypatch.setattr(fused, "L1_PIXEL_PAIR", True)
     pp = fused.fused_forward_int8_chain(cfg, qtree, scales, x, interpret=True)
     assert jnp.array_equal(base, pp)
+
+
+def test_int8_chain_pp_run_vmem_fallback(rng, monkeypatch):
+    """When the pp run kernel does not fit VMEM, stage 0 must degrade to
+    per-block pp kernels with identical output (mirrors
+    test_int8_chain_run_fuse_vmem_fallback for the pp route)."""
+    from resnetc_tpu.models import resnet
+    from resnetc_tpu.ops.pallas import block, fused
+
+    cfg = resnet.get_config("resnet50")
+    cfg = cfg.__class__(**{**cfg.__dict__, "stage_blocks": (2, 2, 2, 2)})
+    variables = resnet.init(cfg, jax.random.key(0))
+    folded = resnet.fold_inference_params(cfg, variables)
+    x = jnp.asarray(
+        rng.standard_normal((2, 64, 64, 3), dtype=np.float32), jnp.bfloat16
+    )
+    scales = fused.calibrate_chain_scales(cfg, folded, x.astype(jnp.float32))
+    qtree = fused.quantize_chain(cfg, folded)
+
+    monkeypatch.setattr(fused, "L1_PIXEL_PAIR", True)
+    with_run = fused.fused_forward_int8_chain(cfg, qtree, scales, x, interpret=True)
+    monkeypatch.setattr(block, "_pick_bt_run_int8_pp",
+                        lambda *a, **k: 0)
+    per_block = fused.fused_forward_int8_chain(cfg, qtree, scales, x, interpret=True)
+    assert jnp.array_equal(with_run, per_block)
