@@ -122,6 +122,25 @@ def copy_gbs(rng):
     return 2 * x.size / sec / 1e9
 
 
+def bf16_tfs(rng):
+    """Raw bf16 MXU rate (4096^3 chained dots, dus-salted) — separates a
+    compute-rate degradation from the DMA-rate story."""
+    a = jnp.asarray(rng.standard_normal((4096, 4096), dtype=np.float32),
+                    jnp.bfloat16)
+    b = jnp.asarray(rng.standard_normal((4096, 4096), dtype=np.float32),
+                    jnp.bfloat16)
+
+    def step(salt, aa, bb):
+        a2 = jax.lax.dynamic_update_slice(
+            aa, (salt[:8, :8] * 1e-30).astype(jnp.bfloat16), (0, 0))
+        return jnp.sum((a2 @ bb).astype(jnp.float32))[None, None] * jnp.ones(
+            (8, 8), jnp.float32)
+
+    sec = chained_sec(step, jnp.zeros((8, 8), jnp.float32),
+                      iters=32, repeats=ARGS.repeats, consts=(a, b))
+    return 2 * 4096**3 / sec / 1e12
+
+
 def l1b1_ms(rng):
     """The health.py canary: one stride-1 c=64 chain kernel, b256 56x56."""
     from resnetc_tpu.ops.pallas.block import (
@@ -208,6 +227,9 @@ def main():
     # orchestrator takes the last JSON line).
     if "copy" in what:
         out["copy_gbs_pre"] = round(copy_gbs(rng), 1)
+        print(json.dumps(out), flush=True)
+    if "dot" in what:
+        out["bf16_tfs"] = round(bf16_tfs(rng), 1)
         print(json.dumps(out), flush=True)
     if "l1b1" in what:
         out["l1b1_ms"] = round(l1b1_ms(rng), 3)

@@ -66,7 +66,7 @@ run_leg() {
 for pass in 1 2; do
   echo "#### session_r5 pass $pass $(date)"
   run_leg regress_kernel 2400 python tools/battery/regress_ab.py \
-    --rounds 3 --budget-s 2100 --per-call-timeout 600 --what copy,l1b1 \
+    --rounds 3 --budget-s 2100 --per-call-timeout 600 --what copy,dot,l1b1 \
     --out /root/repo/REGRESS_AB_KERNEL.json
   run_leg pp_ab 2400 python tools/battery/pp_ab.py
   run_leg regress_e2e 3600 python tools/battery/regress_ab.py \
