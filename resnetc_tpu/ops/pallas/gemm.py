@@ -50,7 +50,36 @@ def _gemm_kernel(x_ref, w_ref, b_ref, r_ref, o_ref, acc_ref, *, n_k, relu):
 #: Autotuned tile table, (M, K, N) -> (tm, tn, tk), produced by
 #: tools/autotune_gemm.py on the v5e (salted harness; see PERF.md).  Exact
 #: shape matches only — the heuristic below covers everything else.
+#: Populated from <repo>/GEMM_TILES.json when the autotuner has run on
+#: chip (same measured-defaults pattern as TUNED.json; the file is written
+#: only by tools/autotune_gemm.py).  RESNETC_NO_TUNED=1 pins the empty
+#: code default — the tests' config.
 _BEST_TILES: dict[tuple[int, int, int], tuple[int, int, int]] = {}
+
+
+def _load_tile_table() -> None:
+    import json as _json
+    import os as _os
+    from pathlib import Path as _Path
+
+    if _os.environ.get("RESNETC_NO_TUNED") == "1":
+        return
+    path = _Path(
+        _os.environ.get("RESNETC_GEMM_TILES_JSON")
+        or _Path(__file__).resolve().parents[3] / "GEMM_TILES.json"
+    )
+    try:
+        data = _json.loads(path.read_text())
+        for row in data.get("tiles", []):
+            m, k, n = row["shape"]
+            tm, tn, tk = row["tiles"]
+            if all(type(v) is int and v > 0 for v in (m, k, n, tm, tn, tk)):
+                _BEST_TILES[(m, k, n)] = (tm, tn, tk)
+    except Exception:
+        pass  # absent/malformed table must never break an import
+
+
+_load_tile_table()
 
 
 def _pick_tiles(m: int, n: int, k: int) -> tuple[int, int, int]:

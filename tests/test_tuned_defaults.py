@@ -112,3 +112,35 @@ def test_no_tuned_env_disables(tmp_path, monkeypatch, restore_flags):
 def test_suite_runs_on_code_defaults():
     """conftest must have pinned code defaults for the whole suite."""
     assert fused.TUNED_DEFAULTS == {}
+
+
+def test_gemm_tile_table_loader(tmp_path, monkeypatch):
+    """GEMM_TILES.json populates gemm._BEST_TILES at load; malformed rows
+    and RESNETC_NO_TUNED=1 are ignored (the TUNED.json contract)."""
+    from resnetc_tpu.ops.pallas import gemm
+
+    good = {"tiles": [
+        {"name": "fc", "shape": [256, 2048, 1000], "tiles": [256, 256, 512]},
+        {"name": "bad", "shape": [1, 2, 3], "tiles": [0, 1, 1]},  # rejected
+    ]}
+    p = tmp_path / "tiles.json"
+    p.write_text(__import__("json").dumps(good))
+
+    monkeypatch.setenv("RESNETC_GEMM_TILES_JSON", str(p))
+    monkeypatch.delenv("RESNETC_NO_TUNED", raising=False)
+    table = {}
+    monkeypatch.setattr(gemm, "_BEST_TILES", table)
+    gemm._load_tile_table()
+    assert table == {(256, 2048, 1000): (256, 256, 512)}
+
+    # NO_TUNED pins the code default.
+    monkeypatch.setenv("RESNETC_NO_TUNED", "1")
+    table2 = {}
+    monkeypatch.setattr(gemm, "_BEST_TILES", table2)
+    gemm._load_tile_table()
+    assert table2 == {}
+
+    # Malformed file must never raise.
+    p.write_text("{not json")
+    monkeypatch.delenv("RESNETC_NO_TUNED")
+    gemm._load_tile_table()

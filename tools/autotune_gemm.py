@@ -136,6 +136,27 @@ def main() -> int:
     print("\n# best-tile table ((M,K,N) -> (tm,tn,tk), ratio = xla/pallas):")
     for name, (m, k, n, tiles, sec, sec_x) in best.items():
         print(f"#  {name}: ({m},{k},{n}): {tiles},  # {sec_x/sec:.2f}x xla")
+
+    # Persist the winners: gemm._BEST_TILES loads GEMM_TILES.json at import
+    # (the TUNED.json pattern) — an unattended chip window populates the
+    # table without a human copying a printed dict (VERDICT r4 #8b).
+    if best:
+        import json
+        import time
+
+        out_path = REPO / "GEMM_TILES.json"
+        out_path.write_text(json.dumps({
+            "tiles": [
+                {"name": name, "shape": [m, k, n], "tiles": list(tiles),
+                 "pallas_ms": round(sec * 1e3, 4),
+                 "xla_ms": round(sec_x * 1e3, 4),
+                 "vs_xla": round(sec_x / sec, 3)}
+                for name, (m, k, n, tiles, sec, sec_x) in best.items()
+            ],
+            "written_by": "tools/autotune_gemm.py",
+            "unix_time": int(time.time()),
+        }, indent=1) + "\n")
+        print(f"wrote {out_path}")
     return 0
 
 
