@@ -1157,9 +1157,12 @@ def fused_forward_int8_chain(
                     interpret=interpret,
                 )
                 h, w_sp = (h + 1) // 2, (w_sp + 1) // 2
-            elif L1_PIXEL_PAIR:
+            elif L1_PIXEL_PAIR and blk["w1q"].shape[-1] == 64:
                 # Pixel-paired stage 0 (projection block included): see
                 # block.py's pp section comment / the L1_PIXEL_PAIR flag.
+                # Guarded on c=64: wide/resnext bottleneck variants run
+                # stage 0 at c>=128 where the standard kernel's dots
+                # already fill the MXU N-side.
                 yr = bottleneck_block_chained_int8_pp(
                     yr,
                     blk["w1q"], blk["sw1"], blk["b1"],
@@ -1243,7 +1246,8 @@ def fused_forward_int8_chain(
                     # features directly — the 84MB tail activation never
                     # crosses HBM.
                     fold_head = last_i and stage_taps is None
-                    if stage == 0 and L1_PIXEL_PAIR and not fold_head:
+                    if (stage == 0 and L1_PIXEL_PAIR and not fold_head
+                            and blk["w1q"].shape[-1] == 64):
                         yr = bottleneck_block_chained_int8_pp(
                             yr,
                             blk["w1q"], blk["sw1"], blk["b1"],

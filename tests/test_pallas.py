@@ -2122,3 +2122,26 @@ def test_int8_chain_pp_run_vmem_fallback(rng, monkeypatch):
                         lambda *a, **k: 0)
     per_block = fused.fused_forward_int8_chain(cfg, qtree, scales, x, interpret=True)
     assert jnp.array_equal(with_run, per_block)
+
+
+def test_int8_chain_pp_guard_wide_variant(rng, monkeypatch):
+    """L1_PIXEL_PAIR must be inert (std kernels, identical output) on
+    bottleneck variants whose stage 0 runs at c>=128 (wide_resnet style) —
+    the pp kernels are c=64-only."""
+    from resnetc_tpu.models import resnet
+    from resnetc_tpu.ops.pallas import fused
+
+    cfg = resnet.get_config("wide_resnet50_2")
+    cfg = cfg.__class__(**{**cfg.__dict__, "stage_blocks": (1, 1, 1, 1)})
+    variables = resnet.init(cfg, jax.random.key(0))
+    folded = resnet.fold_inference_params(cfg, variables)
+    x = jnp.asarray(
+        rng.standard_normal((1, 64, 64, 3), dtype=np.float32), jnp.bfloat16
+    )
+    scales = fused.calibrate_chain_scales(cfg, folded, x.astype(jnp.float32))
+    qtree = fused.quantize_chain(cfg, folded)
+
+    base = fused.fused_forward_int8_chain(cfg, qtree, scales, x, interpret=True)
+    monkeypatch.setattr(fused, "L1_PIXEL_PAIR", True)
+    pp = fused.fused_forward_int8_chain(cfg, qtree, scales, x, interpret=True)
+    assert jnp.array_equal(base, pp)
