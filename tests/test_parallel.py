@@ -320,3 +320,31 @@ def test_dp_int8_chain_basic_matches_single_device(rng):
         np.float32,
     )
     _assert_int8_serving_close(got, want)
+
+
+def test_dp_int8_chain_pixel_pair_matches_single_device(rng, monkeypatch):
+    """DP serving under L1_PIXEL_PAIR: the pp kernels run inside the
+    shard_map per-shard (batch-dim pairing is shard-local), so a TUNED.json
+    flip of the flag must not break the data-parallel path."""
+    from resnetc_tpu.ops.pallas import fused
+
+    cfg = resnet.get_config("resnet50", num_classes=11)
+    variables = resnet.init(cfg, jax.random.key(3))
+    folded = resnet.fold_inference_params(cfg, variables)
+    x = jnp.asarray(rng.standard_normal((8, 64, 64, 3), dtype=np.float32))
+    scales = fused.calibrate_chain_scales(cfg, folded, x)
+    qtree = fused.quantize_chain(cfg, folded)
+
+    monkeypatch.setattr(fused, "L1_PIXEL_PAIR", True)
+    want = np.asarray(
+        fused.fused_forward_int8_chain(cfg, qtree, scales, x, interpret=True),
+        np.float32,
+    )
+    mesh = create_mesh(n_data=8)
+    got = np.asarray(
+        fused.fused_forward_int8_chain_sharded(
+            cfg, qtree, scales, x, mesh, interpret=True
+        ),
+        np.float32,
+    )
+    _assert_int8_serving_close(got, want)
