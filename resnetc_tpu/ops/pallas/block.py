@@ -61,6 +61,15 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+#: Mosaic scoped-VMEM limit for the megakernels.  Raised 16MB -> 100MB in
+#: round 3 (under a DEGRADED chip window) to let bt grow; the round-5
+#: healthy-window regress A/B exposed that kernels compiled under the
+#: raised cap run ~1.7x SLOWER in healthy weather than the round-2 builds
+#: (same compute body) — so the cap is now a module knob the battery can
+#: A/B directly.  See REGRESS_AB_KERNEL.json / PERF.md round 5.
+VMEM_CAP_BYTES: int = 100 * 2**20
+
+
 def _pick_bt(b: int, hp: int, wp: int, c: int, c4: int) -> int:
     """Largest divisor of B whose working set fits the VMEM budget."""
     budget = 9 * 2**20
@@ -397,7 +406,15 @@ def _chained_kernel_int8(
         0.0,
     )
     z1 = z1 * mask_ref[:]
-    z1 = jnp.minimum(jnp.round(z1), 127.0).astype(jnp.int8)  # post-relu: no lower clip
+    # TWO-SIDED clip is load-bearing for SPEED, not semantics: post-relu the
+    # lower bound never binds (bit-identical either way), but with clip's
+    # provable [-127,127] range Mosaic emits the cheap f32->int8 convert,
+    # while the round-3 "drop dead lower clips" change (e1a59d4, landed 90
+    # minutes INTO the 08-17 degraded window) left the cast unbounded below
+    # and the whole L1 kernel ~1.7x slower — measured healthy-window
+    # 2026-08-20: minimum 2.68-2.75 ms vs clip 1.58 (bt=1), r2 build 1.54.
+    # This WAS the "int8_chain regression" of VERDICT r4 weak #1.
+    z1 = jnp.clip(jnp.round(z1), -127.0, 127.0).astype(jnp.int8)
 
     # The head/tail zero-fills inside ARE load-bearing even in int8
     # (removing them broke interior parity in interpret mode).  A PAIRED
@@ -436,7 +453,7 @@ def _chained_kernel_int8(
             * sw2p_ref[2:3, :].astype(jnp.float32)
         )
         z2 = jnp.maximum(acc2 + b2_ref[:].astype(jnp.float32), 0.0)
-        z2 = jnp.minimum(jnp.round(z2), 127.0).astype(jnp.int8)  # post-relu: no lower clip
+        z2 = jnp.clip(jnp.round(z2), -127.0, 127.0).astype(jnp.int8)
 
     # --- conv3 (1x1, c -> 4c) + residual (dequantized x) + ReLU, chunked.
     chunk = rows
@@ -460,7 +477,7 @@ def _chained_kernel_int8(
                 * sw2p_ref[2:3, :].astype(jnp.float32)
             )
             z2c = jnp.maximum(acc2 + b2_ref[:].astype(jnp.float32), 0.0)
-            z2c = jnp.minimum(jnp.round(z2c), 127.0).astype(jnp.int8)
+            z2c = jnp.clip(jnp.round(z2c), -127.0, 127.0).astype(jnp.int8)
         else:
             z2c = jax.lax.slice_in_dim(z2, lo, lo + chunk, axis=0)
         y = jax.lax.dot_general(
@@ -498,9 +515,9 @@ def _chained_kernel_int8(
             else:
                 o_ref[:] += contrib
         elif emit_i8:
-            o_ref[lo : lo + chunk, :] = jnp.minimum(
-                jnp.round(y), 127.0
-            ).astype(jnp.int8)  # post-relu: no lower clip
+            o_ref[lo : lo + chunk, :] = jnp.clip(
+                jnp.round(y), -127.0, 127.0
+            ).astype(jnp.int8)
         else:
             o_ref[lo : lo + chunk, :] = y.astype(o_ref.dtype)
 
@@ -893,7 +910,7 @@ def bottleneck_block_chained_int8(
             # for the 56² shape (256 tiny grid steps whose per-step pipeline
             # overhead serializes against the HBM stream — see ROADMAP r3).
             # v5e VMEM is 128 MB; raising the cap lets bt grow.
-            vmem_limit_bytes=100 * 2**20,
+            vmem_limit_bytes=VMEM_CAP_BYTES,
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * b * hp * wp
@@ -1004,7 +1021,7 @@ def _chained_kernel_int8_pp(
         0.0,
     )
     z1 = z1 * mask_ref[:]
-    z1 = jnp.minimum(jnp.round(z1), 127.0).astype(jnp.int8)
+    z1 = jnp.clip(jnp.round(z1), -127.0, 127.0).astype(jnp.int8)
 
     # --- conv2 (pair-space 3x3): dense slots, no lane padding.
     _interleave_kw(z1_ref, z1, rows=rows, wp=wpp, slot=c2, width=c2)
@@ -1024,7 +1041,7 @@ def _chained_kernel_int8_pp(
         * sw2p_ref[2:3, :].astype(jnp.float32)
     )
     z2 = jnp.maximum(acc2 + b2_ref[:].astype(jnp.float32), 0.0)
-    z2 = jnp.minimum(jnp.round(z2), 127.0).astype(jnp.int8)
+    z2 = jnp.clip(jnp.round(z2), -127.0, 127.0).astype(jnp.int8)
 
     # --- conv3 (+ residual/projection) in pair space, chunked.
     chunk = rows
@@ -1053,8 +1070,8 @@ def _chained_kernel_int8_pp(
             )
         y = jnp.maximum(y, 0.0)
         if emit_i8:
-            o_ref[lo : lo + chunk, :] = jnp.minimum(
-                jnp.round(y), 127.0
+            o_ref[lo : lo + chunk, :] = jnp.clip(
+                jnp.round(y), -127.0, 127.0
             ).astype(jnp.int8)
         else:
             o_ref[lo : lo + chunk, :] = y.astype(o_ref.dtype)
@@ -1217,7 +1234,7 @@ def bottleneck_block_chained_int8_pp(
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel",),
-            vmem_limit_bytes=100 * 2**20,
+            vmem_limit_bytes=VMEM_CAP_BYTES,
         ),
         cost_estimate=pl.CostEstimate(
             # Pair-space MACs: conv1/conv3 (and ds) pay the 2x zero block.
@@ -1299,7 +1316,7 @@ def _run_chained_kernel_int8_pp(
             0.0,
         )
         z1 = z1 * mask_ref[:]
-        z1 = jnp.minimum(jnp.round(z1), 127.0).astype(jnp.int8)
+        z1 = jnp.clip(jnp.round(z1), -127.0, 127.0).astype(jnp.int8)
 
         _interleave_kw(z1_ref, z1, rows=rows, wp=wpp, slot=c2, width=c2)
 
@@ -1319,7 +1336,7 @@ def _run_chained_kernel_int8_pp(
             * a2s_ref[3 * n + 2 : 3 * n + 3, :].astype(jnp.float32)
         )
         z2 = jnp.maximum(acc2 + c2s_ref[n : n + 1, :].astype(jnp.float32), 0.0)
-        z2 = jnp.minimum(jnp.round(z2), 127.0).astype(jnp.int8)
+        z2 = jnp.clip(jnp.round(z2), -127.0, 127.0).astype(jnp.int8)
 
         s_res = s_ref[n]
         chunk = rows
@@ -1354,7 +1371,7 @@ def _run_chained_kernel_int8_pp(
             if last and not emit_i8:
                 o_ref[lo : lo + chunk, :] = y.astype(o_ref.dtype)
             else:
-                yq = jnp.minimum(jnp.round(y), 127.0).astype(jnp.int8)
+                yq = jnp.clip(jnp.round(y), -127.0, 127.0).astype(jnp.int8)
                 if last:
                     o_ref[lo : lo + chunk, :] = yq
                 else:
@@ -1508,7 +1525,7 @@ def bottleneck_run_chained_int8_pp(
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel",),
-            vmem_limit_bytes=100 * 2**20,
+            vmem_limit_bytes=VMEM_CAP_BYTES,
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * (b * hp * wp // 2)
@@ -1578,7 +1595,7 @@ def _basic_chained_kernel_int8(
     interleave(xm)
     z1 = jnp.maximum(conv3x3(w1p_ref, a1_ref) + c1_ref[:].astype(jnp.float32), 0.0)
     z1 = z1 * mask_ref[:]
-    z1 = jnp.minimum(jnp.round(z1), 127.0).astype(jnp.int8)  # post-relu: no lower clip
+    z1 = jnp.clip(jnp.round(z1), -127.0, 127.0).astype(jnp.int8)
 
     # conv2 (3x3, c -> c) + identity residual + ReLU.
     interleave(z1)
@@ -1586,7 +1603,7 @@ def _basic_chained_kernel_int8(
     y = y + x_ref[:].astype(jnp.float32) * s_res
     y = jnp.maximum(y, 0.0)
     if emit_i8:
-        o_ref[:] = jnp.minimum(jnp.round(y), 127.0).astype(jnp.int8)
+        o_ref[:] = jnp.clip(jnp.round(y), -127.0, 127.0).astype(jnp.int8)
     else:
         o_ref[:] = y.astype(o_ref.dtype)
 
@@ -1698,7 +1715,7 @@ def basic_block_chained_int8(
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel",),
-            vmem_limit_bytes=100 * 2**20,
+            vmem_limit_bytes=VMEM_CAP_BYTES,
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * b * hp * wp * 18 * c * c,
@@ -1756,7 +1773,7 @@ def _run_basic_kernel_int8(
             0.0,
         )
         z1 = z1 * mask_ref[:]
-        z1 = jnp.minimum(jnp.round(z1), 127.0).astype(jnp.int8)
+        z1 = jnp.clip(jnp.round(z1), -127.0, 127.0).astype(jnp.int8)
 
         _interleave_kw(il_ref, z1, rows=rows, wp=wp, slot=slot, width=c)
         y = conv3x3(w2ps_ref, a2s_ref) + c2s_ref[n : n + 1, :].astype(jnp.float32)
@@ -1765,7 +1782,7 @@ def _run_basic_kernel_int8(
         if last and not emit_i8:
             o_ref[:] = y.astype(o_ref.dtype)
         else:
-            yq = jnp.minimum(jnp.round(y), 127.0).astype(jnp.int8)
+            yq = jnp.clip(jnp.round(y), -127.0, 127.0).astype(jnp.int8)
             if last:
                 o_ref[:] = yq
             else:
@@ -1889,7 +1906,7 @@ def basic_run_chained_int8(
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel",),
-            vmem_limit_bytes=100 * 2**20,
+            vmem_limit_bytes=VMEM_CAP_BYTES,
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * b * hp * wp * n_blocks * 18 * c * c,
@@ -1941,14 +1958,14 @@ def _basic_chained_kernel_int8_pp(
     interleave(xm)
     z1 = jnp.maximum(conv3x3(w1p_ref, a1_ref) + c1_ref[:].astype(jnp.float32), 0.0)
     z1 = z1 * mask_ref[:]
-    z1 = jnp.minimum(jnp.round(z1), 127.0).astype(jnp.int8)
+    z1 = jnp.clip(jnp.round(z1), -127.0, 127.0).astype(jnp.int8)
 
     interleave(z1)
     y = conv3x3(w2p_ref, a2_ref) + c2_ref[:].astype(jnp.float32)
     y = y + x_ref[:].astype(jnp.float32) * s_res
     y = jnp.maximum(y, 0.0)
     if emit_i8:
-        o_ref[:] = jnp.minimum(jnp.round(y), 127.0).astype(jnp.int8)
+        o_ref[:] = jnp.clip(jnp.round(y), -127.0, 127.0).astype(jnp.int8)
     else:
         o_ref[:] = y.astype(o_ref.dtype)
 
@@ -2050,7 +2067,7 @@ def basic_block_chained_int8_pp(
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel",),
-            vmem_limit_bytes=100 * 2**20,
+            vmem_limit_bytes=VMEM_CAP_BYTES,
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * (b * hp * wp // 2) * 2 * (3 * c2) * c2 * 3,
@@ -2106,7 +2123,7 @@ def _run_basic_kernel_int8_pp(
             0.0,
         )
         z1 = z1 * mask_ref[:]
-        z1 = jnp.minimum(jnp.round(z1), 127.0).astype(jnp.int8)
+        z1 = jnp.clip(jnp.round(z1), -127.0, 127.0).astype(jnp.int8)
 
         interleave(z1)
         y = conv3x3(n, w2ps_ref, a2s_ref) + c2s_ref[n : n + 1, :].astype(
@@ -2117,7 +2134,7 @@ def _run_basic_kernel_int8_pp(
         if last and not emit_i8:
             o_ref[:] = y.astype(o_ref.dtype)
         else:
-            yq = jnp.minimum(jnp.round(y), 127.0).astype(jnp.int8)
+            yq = jnp.clip(jnp.round(y), -127.0, 127.0).astype(jnp.int8)
             if last:
                 o_ref[:] = yq
             else:
@@ -2240,7 +2257,7 @@ def basic_run_chained_int8_pp(
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel",),
-            vmem_limit_bytes=100 * 2**20,
+            vmem_limit_bytes=VMEM_CAP_BYTES,
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * (b * hp * wp // 2) * n_blocks * 2 * (3 * c2) * c2 * 3,
@@ -2389,7 +2406,7 @@ def _basic_ds_kernel_int8(
         + c1_ref[:].astype(jnp.float32),
         0.0,
     )
-    z1 = jnp.minimum(jnp.round(z1), 127.0).astype(jnp.int8)  # post-relu
+    z1 = jnp.clip(jnp.round(z1), -127.0, 127.0).astype(jnp.int8)
 
     # --- scatter z1 into the OUTPUT-geometry chain scratch (compact row u
     # -> chain row u + wp2 + 1 per image; ring rows inside the span get
@@ -2446,9 +2463,9 @@ def _basic_ds_kernel_int8(
             )
             y = jnp.maximum(y, 0.0)
             if emit_i8:
-                o_ref[obase : obase + n_u, :] = jnp.minimum(
-                    jnp.round(y), 127.0
-                ).astype(jnp.int8)  # post-relu: no lower clip
+                o_ref[obase : obase + n_u, :] = jnp.clip(
+                    jnp.round(y), -127.0, 127.0
+                ).astype(jnp.int8)
             else:
                 o_ref[obase : obase + n_u, :] = y.astype(o_ref.dtype)
         return
@@ -2473,9 +2490,9 @@ def _basic_ds_kernel_int8(
             )
             y = jnp.maximum(y, 0.0)
             if emit_i8:
-                o_ref[obase + lo : obase + lo + n, :] = jnp.minimum(
-                    jnp.round(y), 127.0
-                ).astype(jnp.int8)  # post-relu: no lower clip
+                o_ref[obase + lo : obase + lo + n, :] = jnp.clip(
+                    jnp.round(y), -127.0, 127.0
+                ).astype(jnp.int8)
             else:
                 o_ref[obase + lo : obase + lo + n, :] = y.astype(o_ref.dtype)
 
@@ -2653,7 +2670,7 @@ def basic_ds_block_s2_int8(
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
-            vmem_limit_bytes=100 * 2**20,
+            vmem_limit_bytes=VMEM_CAP_BYTES,
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * b * hq * wq * (9 * cin * c + 9 * c * c + cin * c),
@@ -2771,7 +2788,7 @@ def _run_chained_kernel_int8(
             0.0,
         )
         z1 = z1 * mask_ref[:]
-        z1 = jnp.minimum(jnp.round(z1), 127.0).astype(jnp.int8)  # post-relu: no lower clip
+        z1 = jnp.clip(jnp.round(z1), -127.0, 127.0).astype(jnp.int8)
 
         _interleave_kw(z1_ref, z1, rows=rows, wp=wp, slot=slot, width=c)
 
@@ -2791,7 +2808,7 @@ def _run_chained_kernel_int8(
             * a2s_ref[3 * n + 2 : 3 * n + 3, :].astype(jnp.float32)
         )
         z2 = jnp.maximum(acc2 + c2s_ref[n : n + 1, :].astype(jnp.float32), 0.0)
-        z2 = jnp.minimum(jnp.round(z2), 127.0).astype(jnp.int8)  # post-relu: no lower clip
+        z2 = jnp.clip(jnp.round(z2), -127.0, 127.0).astype(jnp.int8)
 
         s_res = s_ref[n]
         chunk = rows
@@ -2828,7 +2845,7 @@ def _run_chained_kernel_int8(
             if last and not emit_i8:
                 o_ref[lo : lo + chunk, :] = y.astype(o_ref.dtype)
             else:
-                yq = jnp.minimum(jnp.round(y), 127.0).astype(jnp.int8)
+                yq = jnp.clip(jnp.round(y), -127.0, 127.0).astype(jnp.int8)
                 if last:
                     o_ref[lo : lo + chunk, :] = yq
                 else:
@@ -3050,7 +3067,7 @@ def bottleneck_run_chained_int8(
             # Same rationale as bottleneck_block_chained_int8: the 16MB
             # default cap forced bt=1 (the round-2 "run fusion is slower"
             # measurement was taken there); v5e has 128MB.
-            vmem_limit_bytes=100 * 2**20,
+            vmem_limit_bytes=VMEM_CAP_BYTES,
         ),
         cost_estimate=pl.CostEstimate(
             # Proj form: block 0's conv1 contracts over cin (not c4) and
@@ -3245,7 +3262,7 @@ def _ds_block_s2_kernel(
                 0.0,
             )
             zq = zq * mask_ref[pw].reshape(2 * rows, 1)
-            zq = jnp.minimum(jnp.round(zq), 127.0).astype(jnp.int8)
+            zq = jnp.clip(jnp.round(zq), -127.0, 127.0).astype(jnp.int8)
             zr = zq.reshape(2, rows, c)
             z1w_ref[:, :, pw * c : (pw + 1) * c] = zr
             if pw == 0:
@@ -3266,7 +3283,7 @@ def _ds_block_s2_kernel(
             0.0,
         )
         zall = zall * mask_ref[:].reshape(4 * rows, 1)
-        zall = jnp.minimum(jnp.round(zall), 127.0).astype(jnp.int8)  # post-relu: no lower clip
+        zall = jnp.clip(jnp.round(zall), -127.0, 127.0).astype(jnp.int8)
         for ph in range(2):
             for pw in range(2):
                 p = ph * 2 + pw
@@ -3302,7 +3319,7 @@ def _ds_block_s2_kernel(
         acc = contrib if acc is None else acc + contrib
     z2 = acc.astype(jnp.float32) * sw2_ref[:].astype(jnp.float32)
     z2 = jnp.maximum(z2 + b2_ref[:].astype(jnp.float32), 0.0)
-    z2 = jnp.minimum(jnp.round(z2), 127.0).astype(jnp.int8)  # post-relu: no lower clip
+    z2 = jnp.clip(jnp.round(z2), -127.0, 127.0).astype(jnp.int8)
 
     # --- conv3 (1x1, c -> 4c) + projection shortcut + ReLU, per image (the
     # store offset shifts by hp2*wp2 - hq*wq between images; plane geometry
@@ -3344,7 +3361,7 @@ def _ds_block_s2_kernel(
         )
         y = jnp.maximum(y, 0.0)
         if emit_i8:
-            y = jnp.minimum(jnp.round(y), 127.0).astype(jnp.int8)
+            y = jnp.clip(jnp.round(y), -127.0, 127.0).astype(jnp.int8)
         else:
             y = y.astype(o_ref.dtype)
         for k in range(bt):
@@ -3383,9 +3400,9 @@ def _ds_block_s2_kernel(
             )
             y = jnp.maximum(y, 0.0)
             if emit_i8:
-                o_dst[obase + lo : obase + lo + n, :] = jnp.minimum(
-                    jnp.round(y), 127.0
-                ).astype(jnp.int8)  # post-relu: no lower clip
+                o_dst[obase + lo : obase + lo + n, :] = jnp.clip(
+                    jnp.round(y), -127.0, 127.0
+                ).astype(jnp.int8)
             else:
                 o_dst[obase + lo : obase + lo + n, :] = y.astype(o_ref.dtype)
     finish_out()
@@ -3589,7 +3606,7 @@ def downsample_block_s2_int8(
             dimension_semantics=("arbitrary",),
             # Same rationale as the chain kernels: the 16MB default scoped-
             # VMEM cap forces small bt; v5e has 128MB.
-            vmem_limit_bytes=100 * 2**20,
+            vmem_limit_bytes=VMEM_CAP_BYTES,
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * b * hq * wq * (cin * c + 9 * c * c + c * c4 + cin * c4),

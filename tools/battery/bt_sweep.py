@@ -48,20 +48,24 @@ def sweep(name, b):
     flops = 2 * b * hp * wp * (cin * c + 9 * c * c + c * c4)
 
     print(f"-- {h}x{h} cin={cin} c={c} (b{b})", flush=True)
-    for bt in (2, 4, 8, 16, 32):
+    for bt in (1, 2, 4, 8, 16, 32):
         if b % bt:
             continue
-        def fn(salt, bt=bt):
+        def fn(salt, xq, bt=bt):
             s = scales + jnp.sum(salt) * 1e-30
             out = bottleneck_block_chained_int8(
-                xr, q["w1q"], q["sw1"], q["b1"], q["w2pq"], q["sw2p"],
+                xq, q["w1q"], q["sw1"], q["b1"], q["w2pq"], q["sw2p"],
                 q["b2"], q["w3q"], q["sw3"], q["b3"], s,
                 h=h, w_sp=h, emit_i8=True, bt=bt)
             return jax.lax.slice(out, (0, 0), (8, 8)).astype(jnp.float32)
 
         try:
+            # consts: xr as a jit arg (the closure-ship trap); repeats: the
+            # L3/L4 kernels are sub-ms where a single pair is RTT noise —
+            # the r4 sweep that moved the tables had NO repeats and NO bt=1.
             sec = chained_seconds_per_iter(
-                fn, jnp.zeros((8, 8), jnp.float32), iters=16)
+                fn, jnp.zeros((8, 8), jnp.float32), iters=16, repeats=5,
+                consts=(xr,))
             print(f"  bt={bt:3d}: {sec*1e3:7.3f} ms  {flops/sec/1e12:6.1f} TF/s",
                   flush=True)
         except Exception as e:

@@ -39,6 +39,8 @@ def _parse():
                    help="zero every tunable fused.py flag that exists")
     p.add_argument("--iters", type=int, default=16)
     p.add_argument("--repeats", type=int, default=5)
+    p.add_argument("--l1-bt", type=int, default=None,
+                   help="force the L1b1 probe's bt (default: repo's picker)")
     p.add_argument("--tag", default="")
     return p.parse_args()
 
@@ -161,7 +163,8 @@ def l1b1_ms(rng):
         s = scales + jnp.sum(salt) * 1e-30
         out = bottleneck_block_chained_int8(
             xq, q["w1q"], q["sw1"], q["b1"], q["w2pq"], q["sw2p"], q["b2"],
-            q["w3q"], q["sw3"], q["b3"], s, h=h, w_sp=h, emit_i8=True)
+            q["w3q"], q["sw3"], q["b3"], s, h=h, w_sp=h, emit_i8=True,
+            bt=ARGS.l1_bt)
         return lax.slice(out, (0, 0), (8, 8)).astype(jnp.float32)
 
     sec = chained_sec(step, jnp.zeros((8, 8), jnp.float32),
