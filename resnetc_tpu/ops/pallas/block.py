@@ -522,14 +522,17 @@ def _chained_kernel_int8(
             o_ref[lo : lo + chunk, :] = y.astype(o_ref.dtype)
 
 
-#: Measured best bt per stage (keyed by c), b256 ResNet-50 chain shapes,
-#: swept on the v5e under the 100MB VMEM cap (salted harness; re-swept
-#: 2026-08-19 under the degraded-DMA window, tools/battery/bt_sweep.py):
-#: L1 c=64: bt=4 (2.631 ms; bt=8 2.958, bt=16 spills registers past the
-#: cap); L2 c=128: bt=8 (0.777 ms, -33% vs bt=4); L3 c=256: bt=16
-#: (0.583 ms, -19% vs the round-3 bt=8); L4 c=512: bt=32 (0.411 ms,
-#: -33% vs the round-3 bt=16).
-_MEASURED_BT_CHAIN = {64: 4, 128: 8, 256: 16, 512: 32}
+#: Measured best bt per stage (keyed by c), b256 ResNet-50 chain shapes.
+#: Re-swept 2026-08-20 in a HEALTHY window (copy 700-1200 GB/s) with the
+#: clip-restored kernels (tools/battery/bt_sweep.py, bt=1 included,
+#: repeats=5; the earlier r3/r4 tables were tuned under degraded windows
+#: against the clip-regressed kernels):
+#: L1 c=64: bt=2 (1.496 ms; bt=1 1.563, bt=4 1.600, bt=8 1.818; bt>=16
+#: fails to compile); L2 c=128: bt=4 (0.588 ms, 64-iter 9-repeat
+#: re-check — two-point sub-ms readings of 0.21-0.28 exceeded the int8
+#: MXU peak and were RTT-jitter artifacts); L3 c=256: bt=16 (0.354, tied
+#: with 32); L4 c=512: bt=16 (0.427; bt=32 0.453).
+_MEASURED_BT_CHAIN = {64: 2, 128: 4, 256: 16, 512: 16}
 
 
 def _pick_bt_chain_int8(b: int, hp: int, wp: int, c: int, c4: int) -> int:
