@@ -113,9 +113,17 @@ HYBRID_XLA_STAGES: tuple = ()
 #: block-diagonal / pair-packed weights so every dot runs at N=128 instead
 #: of N=64 and the kw slots are dense (no 64->128 lane padding).  Targets
 #: ROOFLINE.json's L1 0.18-0.30 efficiency (VERDICT r4 #3) from the kernel
-#: side, where HYBRID_XLA_STAGES concedes the stage to XLA bf16.  Overrides
-#: stage-0 run-fusion (per-block pp kernels).  A/B flag, default off until
-#: the on-chip paired A/B; interpret bit-match pinned in tests/test_pallas.py.
+#: side, where HYBRID_XLA_STAGES concedes the stage to XLA bf16.  Honors
+#: stage-0 run-fusion via the pp run kernel.  Interpret bit-match pinned in
+#: tests/test_pallas.py; on-chip bitmatch gate-checked.
+#:
+#: MEASURED NEGATIVE isolated on chip (2026-08-20 healthy window, AFTER the
+#: clip-restore fix, tools/battery/pp_ab.py / PP_AB.json): L1b1 std
+#: 1.402 ms vs pp 1.940 (0.72x), L1b0-proj 1.591 vs 1.986 (0.80x).  The
+#: premise (ROOFLINE r4's L1 0.18-0.30 efficiency) was measured against the
+#: clip-REGRESSED kernels; with the fast convert restored, the std kernel's
+#: N=64 waste costs less than pp's +30% zero-block MACs.  Kept flag-gated
+#: as the measured disposition of VERDICT r4 #3; never enable by default.
 L1_PIXEL_PAIR: bool = False
 
 # --- Measured tuned defaults (TUNED.json) ---------------------------------
