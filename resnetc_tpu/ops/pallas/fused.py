@@ -117,13 +117,16 @@ HYBRID_XLA_STAGES: tuple = ()
 #: stage-0 run-fusion via the pp run kernel.  Interpret bit-match pinned in
 #: tests/test_pallas.py; on-chip bitmatch gate-checked.
 #:
-#: MEASURED NEGATIVE isolated on chip (2026-08-20 healthy window, AFTER the
-#: clip-restore fix, tools/battery/pp_ab.py / PP_AB.json): L1b1 std
-#: 1.402 ms vs pp 1.940 (0.72x), L1b0-proj 1.591 vs 1.986 (0.80x).  The
-#: premise (ROOFLINE r4's L1 0.18-0.30 efficiency) was measured against the
-#: clip-REGRESSED kernels; with the fast convert restored, the std kernel's
-#: N=64 waste costs less than pp's +30% zero-block MACs.  Kept flag-gated
-#: as the measured disposition of VERDICT r4 #3; never enable by default.
+#: Measured on chip 2026-08-20 (healthy window, after the clip-restore
+#: fix): ISOLATED per-block pp LOSES (L1b1 std 1.402 ms vs pp 1.940;
+#: PP_AB.json — the +30%% zero-block MACs outweigh the N-side recovery at
+#: the single-kernel level), but E2E pp WINS +9%% confirmed-paired and
+#: bit-exact (15.274/15.224 vs controls 16.636/16.549 ms — auto_best,
+#: TUNED.json evidence): in context the pp RUN kernel serves stage 0 with
+#: both identity activations VMEM-resident in pair form, and the
+#: half-lane (rows, 64) entry/boundary buffers become full-lane views.
+#: Code default stays False (isolated-negative); TUNED.json flips it ON
+#: as the measured-best serving config.
 L1_PIXEL_PAIR: bool = False
 
 # --- Measured tuned defaults (TUNED.json) ---------------------------------
