@@ -76,8 +76,8 @@ class InferenceEngine:
             # xla 11,369 img/s (BENCH_r02.json, PERF.md "GEMM disposition").
             warnings.warn(
                 f"backend {backend!r} is a bf16 Pallas reference path, "
-                "~2.6-3x slower than 'xla' (see PERF.md); use 'xla' (bf16, "
-                "fastest in recent windows) or 'int8_chain' for serving.",
+                "~2.6-3x slower than 'xla' (see PERF.md); use 'int8_chain' "
+                "(fastest for bottleneck models) or 'xla' for serving.",
                 stacklevel=2,
             )
         folded = resnet.fold_inference_params(model_cfg, variables)
