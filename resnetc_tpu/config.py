@@ -31,9 +31,15 @@ class RunConfig:
 
     model: str = "resnet50"
     num_classes: int = 1000
+    #: 256 = the headline serving config (serving is batch-size neutral on
+    #: int8_chain — BATCH_SWEEP.json).  For TRAINING throughput b128
+    #: measures +4.7% img/s over b256 (BN-stat reductions scale
+    #: superlinearly); pass --batch-size 128 when training for speed.
     batch_size: int = 256
     image_size: int = 224
     policy: str = "bf16"  # "bf16" | "fp32"
+    #: "xla" (bf16) is the accuracy-safe default; "int8_chain" is the
+    #: fastest serving backend for bottleneck models (PERF.md round 5).
     backend: str = "xla"  # one of BACKENDS
     weights_dir: str | None = None  # reference raw-f32 weight directory
     data_dim: int = 1  # mesh data axis
