@@ -92,6 +92,10 @@ TUNE_CANDIDATES = [
     ("HYBRID_XLA_STAGES", (0, 1)),
     ("STAGE_FUSE_PROJ", True),
     ("DS_CONV3_ONEDOT", True),
+    # Per-stage pair gather: the 2026-08-20 isolated A/B showed the pair
+    # DMA wins ONLY at the L2 transition (-13%; L3 neutral, L4 negative),
+    # so the stage-selective flag is tried before the global bool.
+    ("DS_PAIR_DMA_STAGES", (1,)),
     ("DS_PAIR_DMA", True),
     ("STEM_CIN_PAD", 4),
 ]

@@ -52,10 +52,21 @@ STEM_CIN_PAD: int = 0
 #: Gather the ds megakernels' stride-2 input as two ph-pair DMAs (coarse
 #: 15-32 KB contiguous runs) instead of four fine-grained phase planes
 #: (cin-byte runs), splitting pw in-kernel via 128-aligned lane slices.
-#: A/B flag, default off until the on-chip battery measures it
-#: (tools/probe_ds_dma.py isolates the gather cost; interpret bit-match in
-#: tests/test_pallas.py).
+#: A/B flag (interpret bit-match in tests/test_pallas.py).  Measured
+#: per-stage 2026-08-20 (healthy window, clip-fixed kernels, two
+#: interleaved pairs each — tools/battery/ds_pair_ab.py): the coarse pair
+#: gather wins ONLY at the L2 transition (0.96 vs 1.12 ms, -13%,
+#: reproduced; L3 neutral, L4 slightly negative) — hence the per-stage
+#: DS_PAIR_DMA_STAGES below.  This global bool stays for whole-engine
+#: A/Bs.
 DS_PAIR_DMA: bool = False
+
+#: Stage indices (1-based ds transitions: 1=L2, 2=L3, 3=L4) served with
+#: the pair-DMA gather regardless of DS_PAIR_DMA.  e2e A/B of (1,)
+#: (the isolated winner): 15.128 vs 15.096 ms control — REJECTED at the
+#: 1%% bar (the 0.15 ms isolated L2 gain does not survive e2e overlap).
+#: Kept as the per-stage knob with its measured disposition.
+DS_PAIR_DMA_STAGES: tuple = ()
 
 #: Emit the ds megakernels' trailing per-image loops (bottleneck: conv3 +
 #: projection shortcut; basic: projection shortcut) as whole-block dots
@@ -140,6 +151,7 @@ _TUNABLE_FLAGS = (
     "STAGE_FUSE_PROJ",
     "STEM_CIN_PAD",
     "DS_PAIR_DMA",
+    "DS_PAIR_DMA_STAGES",
     "DS_CONV3_ONEDOT",
     "BASIC_DS_INT8",
     "RUN_FUSE_STAGES",
@@ -1162,7 +1174,7 @@ def fused_forward_int8_chain(
                     blk["wdq"], blk["swd"], blk["bd"],
                     scale_row(stage, 0),
                     h=h, w_sp=w_sp, emit_i8=not last0,
-                    pair_dma=DS_PAIR_DMA,
+                    pair_dma=DS_PAIR_DMA or stage in DS_PAIR_DMA_STAGES,
                     onedot=DS_CONV3_ONEDOT,
                     pipe_out=CHAIN_PIPE_DMA,
                     interpret=interpret,

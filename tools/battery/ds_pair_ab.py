@@ -22,16 +22,20 @@ for name, (h, cin, c) in {"L2": (56, 256, 128), "L3": (28, 512, 256),
     hp, wp = chain_meta(0, h, h)
     xr = jnp.asarray(rng.integers(-127, 128, (B * hp * wp, cin)), jnp.int8)
     sc = jnp.asarray([0.03, 0.02, 0.03, 0.02], jnp.float32)
-    for pair in (False, True):
-        def fn(salt, pair=pair):
+    # Two interleaved pairs per shape, long chains + repeats (the ds
+    # kernels are sub-ms where single-pair two-point diffs are RTT noise).
+    for pair in (False, True, False, True):
+        def fn(salt, xq, pair=pair):
             s = sc + jnp.sum(salt) * 1e-30
             out = downsample_block_s2_int8(
-                xr, q["w1q"], q["sw1"], q["b1"], q["w2q"], q["sw2"], q["b2"],
+                xq, q["w1q"], q["sw1"], q["b1"], q["w2q"], q["sw2"], q["b2"],
                 q["w3q"], q["sw3"], q["b3"], q["wdq"], q["swd"], q["bd"],
                 s, h=h, w_sp=h, emit_i8=True, pair_dma=pair)
             return jax.lax.slice(out, (0, 0), (8, 8)).astype(jnp.float32)
         try:
-            sec = chained_seconds_per_iter(fn, jnp.zeros((8, 8), jnp.float32), iters=16)
+            sec = chained_seconds_per_iter(
+                fn, jnp.zeros((8, 8), jnp.float32), iters=32, repeats=7,
+                consts=(xr,))
             print(f"{name}ds pair_dma={pair}: {sec*1e3:.3f} ms", flush=True)
         except Exception as e:
             print(f"{name}ds pair_dma={pair}: FAIL {type(e).__name__}: {e}", flush=True)
