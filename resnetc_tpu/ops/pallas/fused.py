@@ -39,9 +39,11 @@ RUN_FUSE_STAGES: tuple = (0,)
 #: When stage 0 run-fuses, also pull the PROJECTION block 0 into the run —
 #: the whole layer1 stage as ONE kernel (x in at cin=64, out at c4=256;
 #: the 208MB intermediate at ResNet-50 b256 never crosses HBM).  A/B flag.
-#: Default False until the on-chip battery validates the Mosaic-compiled
-#: path (interpret-mode bit-match is proven; the chip was unreachable when
-#: this landed) — flip after VERIFY_TPU + the A/B measure.
+#: MEASURED NEGATIVE in both forms: std whole-stage 24.56 vs 23.66 ms
+#: control (r4, -3.8%); pp whole-stage (routed under L1_PIXEL_PAIR,
+#: 2026-08-20 healthy window) 16.11 vs 15.20 ms control (-6%) — the
+#: mega-run's scheduling cost exceeds the saved b0->run HBM round trip in
+#: every configuration tried.  Kept as a bit-match-tested option only.
 STAGE_FUSE_PROJ: bool = False
 
 #: Zero-pad the stem conv's cin (3 -> this value) before the XLA 7x7 on
@@ -1128,10 +1130,10 @@ def fused_forward_int8_chain(
         stage_fused = False
         if (
             stage == 0 and nb > 1 and stage in RUN_FUSE_STAGES
-            and STAGE_FUSE_PROJ and not L1_PIXEL_PAIR
+            and STAGE_FUSE_PROJ
         ):
             from resnetc_tpu.ops.pallas.block import (
-                _pick_bt_run_int8, chain_meta,
+                _pick_bt_run_int8, _pick_bt_run_int8_pp, chain_meta,
             )
 
             blk0 = blocks["0"]
@@ -1139,24 +1141,40 @@ def fused_forward_int8_chain(
                 hp, wp = chain_meta(0, h, w_sp)
                 c4, c = blocks["1"]["w1q"].shape
                 cin = blk0["w1q"].shape[0]
-                if _pick_bt_run_int8(
-                    yr.shape[0] // (hp * wp), hp, wp, c, c4, nb, cin=cin
-                ) > 0:
+                # Whole stage as ONE kernel, pp form under L1_PIXEL_PAIR
+                # (the pp run wrapper's proj form): x in paired at cin=64.
+                use_pp = L1_PIXEL_PAIR and c == 64 and wp % 2 == 0
+                if use_pp:
+                    fits = _pick_bt_run_int8_pp(
+                        yr.shape[0] // (hp * wp), hp, wp // 2,
+                        2 * c, 2 * cin, 2 * c4, nb
+                    ) > 0
+                else:
+                    fits = _pick_bt_run_int8(
+                        yr.shape[0] // (hp * wp), hp, wp, c, c4, nb, cin=cin
+                    ) > 0
+                if fits:
                     run = [blocks[str(i)] for i in range(nb)]
                     stk = lambda key, frm=0: jnp.stack(
                         [r[key] for r in run[frm:]]
                     )
                     last = s_after(stage, nb - 1) is None
-                    yr = bottleneck_run_chained_int8(
+                    common = dict(
+                        h=h, w_sp=w_sp, emit_i8=not last, interpret=interpret,
+                        w1q0=blk0["w1q"], wdq=blk0["wdq"],
+                        swd=blk0["swd"], bd=blk0["bd"],
+                    )
+                    run_fn = (bottleneck_run_chained_int8_pp if use_pp
+                              else bottleneck_run_chained_int8)
+                    if not use_pp:
+                        common["pipe_dma"] = CHAIN_PIPE_DMA
+                    yr = run_fn(
                         yr,
                         stk("w1q", frm=1), stk("sw1"), stk("b1"),
                         stk("w2pq"), stk("sw2p"), stk("b2"),
                         stk("w3q"), stk("sw3"), stk("b3"),
                         jnp.stack([scale_row(stage, i) for i in range(nb)]),
-                        h=h, w_sp=w_sp, emit_i8=not last, interpret=interpret,
-                        pipe_dma=CHAIN_PIPE_DMA,
-                        w1q0=blk0["w1q"], wdq=blk0["wdq"],
-                        swd=blk0["swd"], bd=blk0["bd"],
+                        **common,
                     )
                     stage_fused = True
 

@@ -2145,3 +2145,26 @@ def test_int8_chain_pp_guard_wide_variant(rng, monkeypatch):
     monkeypatch.setattr(fused, "L1_PIXEL_PAIR", True)
     pp = fused.fused_forward_int8_chain(cfg, qtree, scales, x, interpret=True)
     assert jnp.array_equal(base, pp)
+
+
+def test_int8_chain_pp_whole_stage_proj_bitmatch(rng, monkeypatch):
+    """L1_PIXEL_PAIR + STAGE_FUSE_PROJ: the whole-stage pp run kernel
+    (projection block 0 included) must bit-match the per-block pp path."""
+    from resnetc_tpu.models import resnet
+    from resnetc_tpu.ops.pallas import fused
+
+    cfg = resnet.get_config("resnet50")
+    cfg = cfg.__class__(**{**cfg.__dict__, "stage_blocks": (2, 2, 2, 2)})
+    variables = resnet.init(cfg, jax.random.key(0))
+    folded = resnet.fold_inference_params(cfg, variables)
+    x = jnp.asarray(
+        rng.standard_normal((2, 64, 64, 3), dtype=np.float32), jnp.bfloat16
+    )
+    scales = fused.calibrate_chain_scales(cfg, folded, x.astype(jnp.float32))
+    qtree = fused.quantize_chain(cfg, folded)
+
+    monkeypatch.setattr(fused, "L1_PIXEL_PAIR", True)
+    base = fused.fused_forward_int8_chain(cfg, qtree, scales, x, interpret=True)
+    monkeypatch.setattr(fused, "STAGE_FUSE_PROJ", True)
+    whole = fused.fused_forward_int8_chain(cfg, qtree, scales, x, interpret=True)
+    assert jnp.array_equal(base, whole)
