@@ -37,9 +37,13 @@ from resnetc_tpu.ops.pallas.quant import quantize_with_scale
 from resnetc_tpu.tensor import BF16
 
 
-def build_prefix(cfg, qtree, chain_scales, cut, policy=BF16):
+def build_prefix(cfg, qtree, chain_scales, cut, policy=BF16, pp=False):
     """Prefix of fused_forward_int8_chain after `cut` segments.  Segment 1 =
-    stem, 2 = maxpool, 3 = quantize+pad entry, 4.. = one block each."""
+    stem, 2 = maxpool, 3 = quantize+pad entry, 4.. = one block each.
+
+    ``pp``: serve stage-0 blocks with the pixel-paired per-block kernels —
+    the decomposable proxy for the TUNED engine (whose stage 0 is the pp
+    RUN kernel; a run can't take prefix cuts mid-kernel)."""
 
     def site(stage, b):
         return chain_scales[f"layer{stage + 1}"][str(b)]
@@ -90,7 +94,14 @@ def build_prefix(cfg, qtree, chain_scales, cut, policy=BF16):
                     )
                     h, w_sp = (h + 1) // 2, (w_sp + 1) // 2
                 else:
-                    yr = bottleneck_block_chained_int8(
+                    blk_fn = bottleneck_block_chained_int8
+                    if pp and stage == 0 and blk["w1q"].shape[-1] == 64:
+                        from resnetc_tpu.ops.pallas.block import (
+                            bottleneck_block_chained_int8_pp,
+                        )
+
+                        blk_fn = bottleneck_block_chained_int8_pp
+                    yr = blk_fn(
                         yr,
                         blk["w1q"], blk["sw1"], blk["b1"],
                         blk["w2pq"], blk["sw2p"], blk["b2"],
