@@ -33,7 +33,7 @@ images = jnp.asarray(
 )
 
 rows = []
-for model in ("resnet18", "resnet34", "resnet50", "resnet152"):
+for model in ("resnet18", "resnet34", "resnet50", "resnet101", "resnet152"):
     cfg = resnet.get_config(model)
     variables = resnet.init(cfg, jax.random.key(0))
     flops = model_flops(cfg, SIZE)
