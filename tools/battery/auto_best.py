@@ -116,11 +116,22 @@ if combined:
     # (the CPU smoke must not write flags accepted on meaningless CPU
     # timings into the repo's real TUNED.json).
     out = Path(os.environ.get("RESNETC_TUNED_JSON") or (Path(REPO) / "TUNED.json"))
+    # A RESTRICTED run (RESNETC_AUTOBEST_ONLY) must not clobber the
+    # acceptance evidence of flags it did not re-judge — append its passes
+    # to the existing evidence instead (a round-5 restricted A/B silently
+    # replaced the L1_PIXEL_PAIR/BASIC_DS_INT8 evidence block).
+    passes = list(EVIDENCE)
+    if _only:
+        try:
+            old = json.loads(out.read_text())
+            passes = old["evidence"]["passes"] + passes
+        except Exception:
+            pass
     out.write_text(json.dumps({
         "flags": combined,
         "evidence": {
             "harness": "int8_chain e2e, chained harness, 16 iters, b256",
-            "passes": EVIDENCE,
+            "passes": passes,
             "written_by": "tools/battery/auto_best.py",
             "unix_time": int(time.time()),
         },
